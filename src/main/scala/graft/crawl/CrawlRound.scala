@@ -1,0 +1,237 @@
+package graft.crawl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrawlUdfs
+import graft.functions.UrlExpressions.{canonicalize_url, host_rev, url_host}
+import graft.operators.Ranks
+import graft.sketch.{SeenFilter, SketchAgg}
+
+/**
+ * One crawl round (SURVEY.md §3.1) as a single declarative dataflow:
+ *
+ *   frontier → scheme/depth filter → robots verdict (broadcast join) →
+ *   host-budget window → global round budget (TakeOrdered) →
+ *   host-clustered token-bucket schedule (mapPartitions) →
+ *   fetch = equi-join against the canonical corpus →
+ *   parse (links + text UDFs, explode) →
+ *   seen-dedup of discoveries (Bloom negative-test + exact anti-join) →
+ *   commit {frontier', url_seen', url_seen_exact', fetch_log, lineage}.
+ *
+ * Determinism contract (SURVEY.md §7.5.1): every ordering ends in
+ * `canon_url`; discovery time is the round counter, never a clock; the
+ * token-bucket clock is virtual. Outputs are identical at any local[k].
+ *
+ * Scale notes (the 1000-executor story):
+ *   - the corpus is canonicalized+bucketed ONCE at bootstrap (pages_canon),
+ *     so the per-round fetch join shuffles only the scheduled candidates —
+ *     the 100 TB side stays put (bucket-pruned scan, column-pruned: html is
+ *     read only by the parse projection);
+ *   - robots is broadcast (≤ hosts count, small by construction);
+ *   - the seen check is a Bloom *negative* test: "definitely new" URLs skip
+ *     the exact store entirely; only might-contain URLs probe the exact
+ *     anti-join, so its probe side shrinks to FP-rate + genuinely-seen;
+ *   - fetch_seq uses the two-phase global rank (no single-partition window);
+ *   - per-host state never crosses partitions: repartition on host hash.
+ */
+object CrawlRound {
+
+  final case class RoundResult(
+      round: Int,
+      fetched: Long,
+      discovered: Long,
+      enqueued: Long,
+      robotsDenied: Long,
+      dedupedBloomDefinite: Long,
+      dedupedExact: Long,
+      textMismatches: Long,
+      frontierLeft: Long)
+
+  private val FrontierCols: Seq[String] =
+    Seq("canon_url", "raw_url", "host", "host_rev", "depth", "discovery_round", "src_url")
+
+  /** Priority order of the queue (ends in canon_url ⇒ total order). */
+  private def priorityOrder: Seq[Column] =
+    Seq(col("depth").asc, col("discovery_round").asc, col("host_rev").asc, col("canon_url").asc)
+
+  def partitionIdOf(c: Column, p: Int): Column = pmod(xxhash64(c), lit(p)).cast("int")
+
+  /** Canonicalize + dedup the raw corpus into the fetchable form: one row
+    * per canon_url, latest warc_ts wins (as-of, SURVEY op 29). Run once at
+    * bootstrap, persisted bucket-shaped by the catalog. */
+  def canonicalizePages(pages: DataFrame): DataFrame = {
+    val withCanon = pages.withColumn("canon_url", canonicalize_url(col("url")))
+    withCanon
+      .groupBy(col("canon_url"))
+      .agg(max_by(struct(col("warc_ts"), col("html"), col("text"), col("lang")), col("warc_ts")).as("v"))
+      .select(col("canon_url"), col("v.warc_ts").as("warc_ts"), col("v.html").as("html"),
+        col("v.text").as("ref_text"), col("v.lang").as("lang"))
+  }
+
+  /** Seed list → round-0 frontier (SURVEY op 2). */
+  def seedFrontier(spark: SparkSession, seeds: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val df = seeds.toDF("raw_url")
+      .withColumn("canon_url", canonicalize_url(col("raw_url")))
+      .withColumn("host", url_host(col("canon_url")))
+      .withColumn("host_rev", host_rev(col("host")))
+      .withColumn("depth", lit(0))
+      .withColumn("discovery_round", lit(0))
+      .withColumn("src_url", lit(null).cast("string"))
+    firstDiscoveryWins(df).select(FrontierCols.map(col): _*)
+  }
+
+  /** Within-batch dedup, deterministic: min-struct beats dropDuplicates'
+    * arbitrary row (SURVEY op 23). */
+  def firstDiscoveryWins(entries: DataFrame): DataFrame = {
+    entries
+      .groupBy(col("canon_url"))
+      .agg(min(struct(col("depth"), col("discovery_round"), col("src_url"), col("raw_url"),
+        col("host"), col("host_rev"))).as("e"))
+      .select(col("canon_url"), col("e.raw_url").as("raw_url"), col("e.host").as("host"),
+        col("e.host_rev").as("host_rev"), col("e.depth").as("depth"),
+        col("e.discovery_round").as("discovery_round"), col("e.src_url").as("src_url"))
+  }
+
+  /** The round dataflow. `pagesCanon` is the bootstrap-canonicalized corpus;
+    * `robotsRules` is (host, rules array) — broadcastable. */
+  def run(
+      spark: SparkSession,
+      frontier: DataFrame,
+      seenExact: DataFrame, // canon_url
+      seenSketches: Map[Int, SeenFilter],
+      pagesCanon: DataFrame,
+      robotsRules: DataFrame,
+      cfg: CrawlConfig,
+      round: Int,
+      fetchSeqBase: Long): (DataFrame, DataFrame, DataFrame, DataFrame, RoundResult) = {
+    import spark.implicits._
+
+    // ---- 1. eligibility: scheme + depth (pushable predicates, SURVEY 21/22)
+    val eligible = frontier
+      .filter(col("canon_url").startsWith("http://") || col("canon_url").startsWith("https://"))
+      .filter(col("depth") <= cfg.maxDepth)
+
+    // ---- 2. robots verdict (broadcast join + longest-match UDF, ops 28/14)
+    val withRules = eligible.join(broadcast(robotsRules), Seq("host"), "left_outer")
+    val judged = withRules.withColumn("allowed",
+      CrawlUdfs.robots_allows(col("rules"), lit(cfg.userAgent), CrawlUdfs.urlPath(col("canon_url"))))
+    val denied = judged.filter(!col("allowed"))
+    val allowed = judged.filter(col("allowed")).drop("rules", "allowed")
+
+    // ---- 3. host budget: priority-queue window per host (op 38)
+    val hostW = Window.partitionBy(col("host"))
+      .orderBy(col("depth").asc, col("discovery_round").asc, col("canon_url").asc)
+    val ranked = allowed.withColumn("host_rank", row_number().over(hostW))
+    val inBudget = ranked.filter(col("host_rank") <= cfg.hostBudget)
+
+    // ---- 4. global round budget (TakeOrderedAndProject, op 39)
+    val scheduledCand = inBudget
+      .orderBy(priorityOrder: _*)
+      .limit(cfg.roundBudget)
+
+    // ---- 5. politeness: host-clustered token bucket (ops 47/48)
+    val cands = scheduledCand
+      .select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
+        col("discovery_round"), col("host_rank"))
+      .repartition(cfg.numPartitions, partitionIdOf(col("host"), cfg.numPartitions))
+      .sortWithinPartitions(col("host"), col("depth"), col("discovery_round"), col("canon_url"))
+      .as[Candidate]
+    val scheduled = TokenBucket.schedule(cands, cfg.burst, cfg.ratePerSec).toDF()
+
+    // ---- 6. fetch = equi-join vs canonical corpus (op 27); left_outer keeps 404s
+    val fetched = scheduled.join(pagesCanon, Seq("canon_url"), "left_outer")
+      .withColumn("status", when(col("html").isNotNull, lit(200)).otherwise(lit(404)))
+
+    // ---- 7. parse: links + text (ops 11/12/20); parity vs corpus text
+    val parsed = fetched
+      .withColumn("outlinks",
+        when(col("status") === 200, CrawlUdfs.extract_links(col("html"), col("canon_url")))
+          .otherwise(array()))
+      .withColumn("text", when(col("status") === 200, CrawlUdfs.extract_text(col("html"))))
+      .withColumn("text_match",
+        col("status") =!= 200 || (col("text") <=> col("ref_text")))
+
+    // ---- 8. fetch_seq: two-phase global rank in priority order (op 41)
+    val logged = Ranks.globalSeq(
+      parsed.select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
+        col("discovery_round"), col("scheduled_offset_ms"), col("status"),
+        size(col("outlinks")).as("n_outlinks"),
+        when(col("text").isNotNull, sha2(col("text"), 256)).as("text_sha256"),
+        col("text_match"), col("outlinks")),
+      "seq0", priorityOrder, cfg.numPartitions)
+      .withColumn("fetch_seq", col("seq0") + lit(fetchSeqBase)).drop("seq0")
+    logged.persist()
+
+    val fetchLog = logged.select(lit(round).as("round"), col("canon_url"), col("fetch_seq"),
+      col("scheduled_offset_ms"), col("status"), col("n_outlinks"), col("text_sha256"))
+
+    // ---- 9. discoveries: explode outlinks, canonicalize, first-discovery-wins
+    val rawLinks = logged
+      .select(col("canon_url").as("src_url"), col("depth").as("src_depth"),
+        explode(col("outlinks")).as("raw_url"))
+    val discovered = rawLinks
+      .withColumn("canon_url", canonicalize_url(col("raw_url")))
+      .filter(col("canon_url").startsWith("http://") || col("canon_url").startsWith("https://"))
+      .withColumn("depth", col("src_depth") + 1)
+      .filter(col("depth") <= cfg.maxDepth)
+      .withColumn("host", url_host(col("canon_url")))
+      .withColumn("host_rev", host_rev(col("host")))
+      .withColumn("discovery_round", lit(round + 1))
+      .select(FrontierCols.map(col): _*)
+    val firstSeenInBatch = firstDiscoveryWins(discovered)
+
+    // ---- 10. seen-dedup: Bloom negative test ⇒ definitely new; the rest
+    // verify against the exact store (keeps exactness, shrinks the join)
+    val bSketches = spark.sparkContext.broadcast(seenSketches)
+    val p = cfg.numPartitions
+    val mightContainUdf = udf((canon: String) => {
+      val sk = bSketches.value
+      if (sk.isEmpty) true // no sketch state yet: everything must be verified
+      else {
+        val key = graft.sketch.KeyHash.of(canon)
+        sk.get(graft.sketch.KeyHash.pidOf(canon, p)).forall(_.mightContain(key))
+      }
+    })
+    val flagged = firstSeenInBatch.withColumn("might_seen", mightContainUdf(col("canon_url")))
+    flagged.persist()
+    val definitelyNew = flagged.filter(!col("might_seen")).drop("might_seen")
+    val mustVerify = flagged.filter(col("might_seen")).drop("might_seen")
+    val verifiedNew = mustVerify.join(seenExact, Seq("canon_url"), "left_anti")
+    val newEntries = definitelyNew.unionByName(verifiedNew)
+    newEntries.persist()
+
+    // ---- 11. next state
+    val scheduledKeys = scheduled.select(col("canon_url"))
+    val deniedKeys = denied.select(col("canon_url"))
+    // note: built from `eligible`, not `frontier` — rows that can never be
+    // fetched (bad scheme / over-depth seeds) must not pin the loop open
+    val frontierNext = eligible
+      .join(scheduledKeys.unionByName(deniedKeys), Seq("canon_url"), "left_anti")
+      .unionByName(newEntries)
+    val seenExactNext = seenExact.unionByName(newEntries.select(col("canon_url")))
+
+    // ---- 12. metrics (single multi-agg pass where possible)
+    val nFetched = logged.count()
+    val nMismatch = logged.filter(!col("text_match")).count()
+    val nDiscovered = firstSeenInBatch.count()
+    val nMight = mustVerify.count()
+    val nVerifiedNew = verifiedNew.count()
+    val nNew = newEntries.count()
+    val nDenied = denied.count()
+    val result = RoundResult(
+      round = round,
+      fetched = nFetched,
+      discovered = nDiscovered,
+      enqueued = nNew,
+      robotsDenied = nDenied,
+      dedupedBloomDefinite = nDiscovered - nMight, // bloom said "definitely new"
+      dedupedExact = nMight - nVerifiedNew, // truly seen (bloom positives that held)
+      textMismatches = nMismatch,
+      frontierLeft = -1L)
+
+    (fetchLog, frontierNext, seenExactNext, newEntries.select(col("canon_url")), result)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.crawl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Snapshot-table catalog (SURVEY.md §7.4). The engine only ever talks to
+ * this trait; the sandbox has no Iceberg runtime, so [[HadoopSnapshotCatalog]]
+ * implements the Iceberg *semantics the engine relies on*:
+ *
+ *   - atomic multi-table commit: all of a round's tables become visible
+ *     together or not at all (manifest rename is the linearization point);
+ *   - read-at-snapshot: loads resolve through the latest committed manifest,
+ *     never by directory listing, so torn writes are invisible;
+ *   - resumability: a fresh JVM reconstructs full state from the catalog
+ *     directory alone.
+ *
+ * On a real cluster this trait maps 1:1 onto Iceberg:
+ * `load` → `spark.read.table(...)` with `VERSION AS OF`, `commit` →
+ * a multi-table transaction of `writeTo(...).overwritePartitions()`; the
+ * manifest id becomes the Iceberg snapshot id.
+ */
+trait StateCatalog {
+  /** Latest committed round number, if any commit exists. */
+  def latestRound: Option[Int]
+  /** Read `table` as of the latest commit ≤ `atRound` (default: latest). */
+  def load(spark: SparkSession, table: String, atRound: Option[Int] = None): Option[DataFrame]
+  /** Atomically publish a round's tables. Returns the snapshot id. */
+  def commit(round: Int, tables: Map[String, DataFrame], metrics: Map[String, Long] = Map.empty): String
+  /** Metrics map of a committed round (lineage accounting). */
+  def metricsOf(round: Int): Map[String, Long]
+}
+
+final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
+  private val root: Path = Paths.get(rootDir)
+  private val manifestDir: Path = root.resolve("_manifests")
+  Files.createDirectories(manifestDir)
+
+  private def manifestPath(round: Int): Path = manifestDir.resolve(f"manifest_$round%06d.json")
+
+  override def latestRound: Option[Int] = {
+    if (!Files.isDirectory(manifestDir)) return None
+    val rounds = Files.list(manifestDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("manifest_") && s.endsWith(".json") =>
+        s.stripPrefix("manifest_").stripSuffix(".json").toInt }
+      .toSeq
+    if (rounds.isEmpty) None else Some(rounds.max)
+  }
+
+  private def readManifest(round: Int): Map[String, String] = {
+    val txt = new String(Files.readAllBytes(manifestPath(round)), StandardCharsets.UTF_8)
+    // flat {"k":"v",...} parser — manifests are written by `commit` below and
+    // contain no nesting or escapes beyond what q() produces
+    """"([^"]+)"\s*:\s*"([^"]*)"""".r.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2)).toMap
+  }
+
+  override def load(spark: SparkSession, table: String, atRound: Option[Int]): Option[DataFrame] = {
+    val upTo = atRound.orElse(latestRound).getOrElse(return None)
+    // walk back to the newest manifest ≤ upTo that mentions the table
+    var r = upTo
+    while (r >= 0) {
+      if (Files.exists(manifestPath(r))) {
+        val m = readManifest(r)
+        m.get(s"table.$table") match {
+          case Some(rel) => return Some(spark.read.parquet(root.resolve(rel).toString))
+          case None => // table not rewritten this round — keep walking back
+        }
+      }
+      r -= 1
+    }
+    None
+  }
+
+  override def commit(round: Int, tables: Map[String, DataFrame], metrics: Map[String, Long]): String = {
+    val entries = tables.map { case (name, df) =>
+      val rel = f"$name/r$round%06d"
+      val tmp = root.resolve(rel + ".tmp")
+      val fin = root.resolve(rel)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      // idempotent re-commit of the same round: clear any previous final dir
+      if (Files.exists(fin)) deleteRecursively(fin)
+      Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+      s"table.$name" -> rel
+    }
+    val metricEntries = metrics.map { case (k, v) => s"metric.$k" -> v.toString }
+    val snapshotId = f"r$round%06d"
+    val body = (entries ++ metricEntries + ("snapshot_id" -> snapshotId) + ("round" -> round.toString))
+      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    val tmpManifest = manifestDir.resolve(s".manifest_$round.tmp")
+    Files.write(tmpManifest, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmpManifest, manifestPath(round), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    snapshotId
+  }
+
+  override def metricsOf(round: Int): Map[String, Long] = {
+    if (!Files.exists(manifestPath(round))) return Map.empty
+    readManifest(round).collect { case (k, v) if k.startsWith("metric.") =>
+      k.stripPrefix("metric.") -> v.toLong }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.crawl
+
+import org.apache.spark.sql.Dataset
+
+/**
+ * Per-host token-bucket politeness scheduler (SURVEY.md op 48) as a typed
+ * `mapPartitions` — the one inherently stateful-sequential piece of the
+ * round, hence the one place the engine drops out of Catalyst.
+ *
+ * Semantics: each host owns a bucket with capacity `burst` tokens refilling
+ * at `ratePerSec`. Fetches consume one token; when the bucket is empty the
+ * fetch is scheduled at the earliest virtual time a token exists. The clock
+ * is VIRTUAL (starts at 0 per host per round) so the schedule is a pure
+ * function of each candidate's rank within its host — never wall time.
+ * Closed form: offset_ms(rank) = max(0, rank - burst + 1) / rate * 1000,
+ * which the property suite asserts equals this stateful implementation for
+ * random inputs (the stateful form is kept because it generalizes to
+ * variable cost / per-host rates; the closed form would not).
+ *
+ * Scale contract: callers repartition by host and sort within partitions by
+ * (host, priority) first, so one host's candidates arrive consecutively in
+ * one partition and per-partition state is a single live bucket at a time.
+ */
+object TokenBucket {
+
+  final case class Bucket(burst: Int, ratePerSec: Double) {
+    private var tokens: Double = burst.toDouble
+    private var vclockMs: Long = 0L
+
+    /** Schedule the next fetch; returns its offset in virtual ms. */
+    def next(): Long = {
+      if (tokens >= 1.0) { tokens -= 1.0; vclockMs }
+      else {
+        val waitMs = math.ceil((1.0 - tokens) / ratePerSec * 1000.0).toLong
+        vclockMs += waitMs
+        tokens = 0.0 // the refilled token is consumed immediately
+        vclockMs
+      }
+    }
+  }
+
+  /** Candidates → Scheduled. Input MUST be host-clustered and host-sorted
+    * within each partition (see class doc). */
+  def schedule(cands: Dataset[Candidate], burst: Int, ratePerSec: Double): Dataset[Scheduled] = {
+    import cands.sparkSession.implicits._
+    cands.mapPartitions { it =>
+      var curHost: String = null
+      var bucket: Bucket = null
+      it.map { c =>
+        if (c.host != curHost) { curHost = c.host; bucket = Bucket(burst, ratePerSec) }
+        Scheduled(c.canon_url, c.host, c.host_rev, c.depth, c.discovery_round,
+          c.host_rank, bucket.next())
+      }
+    }
+  }
+}

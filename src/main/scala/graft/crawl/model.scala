@@ -1,0 +1,98 @@
+package graft.crawl
+
+import org.apache.spark.sql.types._
+
+/**
+ * Data model of the crawl engine (SURVEY.md §1.2): everything is a snapshot
+ * table; the queue is data, not a runtime object.
+ */
+
+/** One row of the input corpus — shape fixed by BASELINE.json `input_hint`. */
+final case class PageRow(
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** One discovered-not-yet-fetched URL. `discovery_round` (not wall time)
+  * orders discoveries — determinism forbids clocks (SURVEY.md §7.5.1). */
+final case class FrontierEntry(
+    canon_url: String,
+    raw_url: String,
+    host: String,
+    host_rev: String,
+    depth: Int,
+    discovery_round: Int,
+    src_url: String)
+
+/** A frontier entry that survived dedup/robots/budget and got scheduled. */
+final case class Candidate(
+    canon_url: String,
+    host: String,
+    host_rev: String,
+    depth: Int,
+    discovery_round: Int,
+    host_rank: Int)
+
+/** Scheduler output: candidate + politeness schedule metadata. */
+final case class Scheduled(
+    canon_url: String,
+    host: String,
+    host_rev: String,
+    depth: Int,
+    discovery_round: Int,
+    host_rank: Int,
+    scheduled_offset_ms: Long)
+
+/** Crawl configuration — the "politeness budget" under which ordering parity
+  * is defined (FIXTURES.md §F2). All knobs deterministic. */
+final case class CrawlConfig(
+    userAgent: String = "crawlerspark",
+    maxDepth: Int = 6,
+    hostBudget: Int = 16,
+    roundBudget: Int = 2048,
+    ratePerSec: Double = 2.0,
+    burst: Int = 4,
+    numPartitions: Int = 32,
+    bloomFpp: Double = 0.01,
+    bloomExpectedPerPartition: Long = 1 << 16,
+    filterKind: String = "bloom") // "bloom" | "cuckoo"
+
+object Schemas {
+  /** BASELINE.json input_hint, exactly. */
+  val pages: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = false),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  val frontier: StructType = StructType(Seq(
+    StructField("canon_url", StringType, nullable = false),
+    StructField("raw_url", StringType),
+    StructField("host", StringType),
+    StructField("host_rev", StringType),
+    StructField("depth", IntegerType),
+    StructField("discovery_round", IntegerType),
+    StructField("src_url", StringType)))
+
+  val urlSeen: StructType = StructType(Seq(
+    StructField("partition_id", IntegerType),
+    StructField("kind", StringType),
+    StructField("sketch", BinaryType),
+    StructField("n_items", LongType)))
+
+  val robots: StructType = StructType(Seq(
+    StructField("host", StringType, nullable = false),
+    StructField("robots_body", StringType)))
+
+  val fetchLog: StructType = StructType(Seq(
+    StructField("round", IntegerType),
+    StructField("canon_url", StringType),
+    StructField("fetch_seq", LongType),
+    StructField("scheduled_offset_ms", LongType),
+    StructField("status", IntegerType),
+    StructField("n_outlinks", IntegerType),
+    StructField("text_sha256", StringType)))
+}

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+
+import graft.html.Html
+import graft.robots.{RobotRule, Robots}
+import graft.urls.UrlCanon
+
+/**
+ * UDF surface for the parsing operators (SURVEY.md ops 11–14). These stay
+ * UDFs (not native expressions) deliberately: they are regex-heavy,
+ * allocation-heavy leaf transforms whose cost dwarfs the codegen-boundary
+ * overhead; the *cheap, high-frequency* scalar ops (canonicalize, host_rev)
+ * are native expressions in [[UrlExpressions]] instead.
+ *
+ * All UDFs are deterministic (Spark assumes so by default) and null-tolerant.
+ */
+object CrawlUdfs {
+
+  /** (html bytes, base url) → resolved absolute outlink array (op 11). */
+  val extractLinksUdf = udf((html: Array[Byte], base: String) =>
+    Html.extractLinks(html, base))
+
+  /** html bytes → visible text per the frozen FIXTURES.md §F3 spec (op 12). */
+  val extractTextUdf = udf((html: Array[Byte]) => Html.extractText(html))
+
+  /** robots.txt body → flat rule list (op 13). */
+  val robotsParseUdf = udf((body: String) =>
+    Robots.parse(body).map(r => (r.agent, r.allow, r.path)))
+
+  /** (rules, ua, url path) → allowed? (op 14, RFC 9309 longest-match). */
+  val robotsAllowsUdf = udf((rules: Seq[(String, Boolean, String)], ua: String, path: String) =>
+    Robots.allows(
+      if (rules == null) Array.empty[RobotRule]
+      else rules.map(t => RobotRule(t._1, t._2, t._3)).toArray,
+      ua, path))
+
+  /** (base, href) → absolute url or null (RFC 3986 §5.2 resolution). */
+  val resolveUdf = udf((base: String, ref: String) => UrlCanon.resolve(base, ref))
+
+  def extract_links(html: Column, base: Column): Column = extractLinksUdf(html, base)
+  def extract_text(html: Column): Column = extractTextUdf(html)
+  def robots_parse(body: Column): Column = robotsParseUdf(body)
+  def robots_allows(rules: Column, ua: Column, path: Column): Column =
+    robotsAllowsUdf(rules, ua, path)
+
+  /** Path+query part of a canonical URL — cheap native ops, no UDF. */
+  def urlPath(canonUrl: Column): Column = {
+    import org.apache.spark.sql.functions._
+    // strip "scheme://host[:port]" → first '/' after "://"
+    val afterScheme = regexp_replace(canonUrl, "^[a-z][a-z0-9+.-]*://[^/]*", "")
+    when(afterScheme === "", "/").otherwise(afterScheme)
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("extract_links", extractLinksUdf)
+    spark.udf.register("extract_text", extractTextUdf)
+    spark.udf.register("robots_parse", robotsParseUdf)
+    spark.udf.register("robots_allows", robotsAllowsUdf)
+    spark.udf.register("resolve_url", resolveUdf)
+    UrlExpressions.register(spark)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.robots
+
+/**
+ * RFC 9309 robots.txt parsing + matching.
+ *
+ * Model: a parsed body is a flat list of [[RobotRule]]s, each tagged with the
+ * user-agent token of its group. Matching (RFC 9309 §2.2.2 / §2.2.3):
+ *   - pick the group with the most specific user-agent match (exact product
+ *     token beats "*"); if no group matches, everything is allowed;
+ *   - within the group, the rule with the longest octet-length pattern wins;
+ *     tie → allow wins;
+ *   - patterns support `*` (any char run) and a trailing `$` anchor;
+ *   - no rules matched → allowed. Missing robots.txt → allowed.
+ */
+final case class RobotRule(agent: String, allow: Boolean, path: String)
+
+object Robots {
+
+  /** Parse a robots.txt body into rules (group structure flattened into the
+    * per-rule `agent` tag; consecutive UA lines share the following rules). */
+  def parse(body: String): Array[RobotRule] = {
+    if (body == null) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[RobotRule]()
+    var agents = List.empty[String]
+    var inGroupRules = false
+    body.linesIterator.foreach { lineRaw =>
+      val line = {
+        val h = lineRaw.indexOf('#')
+        (if (h >= 0) lineRaw.substring(0, h) else lineRaw).trim
+      }
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (inGroupRules) { agents = Nil; inGroupRules = false }
+              agents = value.toLowerCase(java.util.Locale.ROOT) :: agents
+            case "allow" | "disallow" =>
+              inGroupRules = true
+              val allow = key == "allow"
+              // empty Disallow: == allow everything (record nothing)
+              if (value.nonEmpty) {
+                val ags = if (agents.isEmpty) List("*") else agents
+                ags.foreach(a => out += RobotRule(a, allow, value))
+              }
+            case _ => // crawl-delay, sitemap, unknown: ignored
+              inGroupRules = true
+          }
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** True if `pattern` (with `*` wildcards, optional trailing `$`) matches a
+    * prefix of `path`. Returns match specificity = pattern length, or -1. */
+  def matchLen(pattern: String, path: String): Int = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    if (matches(pat, 0, path, 0, anchored)) pattern.length else -1
+  }
+
+  private def matches(pat: String, pi0: Int, path: String, si0: Int, anchored: Boolean): Boolean = {
+    var pi = pi0; var si = si0
+    while (pi < pat.length) {
+      val pc = pat.charAt(pi)
+      if (pc == '*') {
+        // try all suffix positions (paths are short; fine)
+        var k = si
+        while (k <= path.length) {
+          if (matches(pat, pi + 1, path, k, anchored)) return true
+          k += 1
+        }
+        return false
+      } else {
+        if (si >= path.length || path.charAt(si) != pc) return false
+        pi += 1; si += 1
+      }
+    }
+    if (anchored) si == path.length else true
+  }
+
+  /** Select the applicable group for `ua` among rule agents. */
+  def groupFor(rules: Array[RobotRule], ua: String): Array[RobotRule] = {
+    val u = if (ua == null) "*" else ua.toLowerCase(java.util.Locale.ROOT)
+    val exact = rules.filter(r => r.agent != "*" && u.contains(r.agent))
+    if (exact.nonEmpty) exact else rules.filter(_.agent == "*")
+  }
+
+  /** RFC 9309 longest-match-wins verdict for (rules, ua, path). */
+  def allows(rules: Array[RobotRule], ua: String, path: String): Boolean = {
+    if (rules == null || rules.isEmpty) return true
+    val p = if (path == null || path.isEmpty) "/" else path
+    val group = groupFor(rules, ua)
+    var bestLen = -1
+    var bestAllow = true
+    group.foreach { r =>
+      val ml = matchLen(r.path, p)
+      if (ml > bestLen || (ml == bestLen && r.allow && !bestAllow)) {
+        if (ml >= 0) { bestLen = ml; bestAllow = r.allow }
+      }
+    }
+    if (bestLen < 0) true else bestAllow
+  }
+}

@@ -118,13 +118,15 @@ object Crawl {
         val sketches = loadSketches(spark, catalog)
         val base = catalog.metricsOf(round - 1).getOrElse("total_fetched",
           (0 until round).map(r => catalog.metricsOf(r).getOrElse("fetched", 0L)).sum)
+        val out = CrawlRound.run(spark, frontier, seenExact, sketches, pagesCanon, robotsRules,
+          cfg, round, base)
         val (fetchLog, frontierNext, seenExactNext, newKeys, res) =
-          CrawlRound.run(spark, frontier, seenExact, sketches, pagesCanon, robotsRules,
-            cfg, round, base)
+          (out.fetchLog, out.frontierNext, out.seenExactNext, out.newKeys, out.result)
         val sketchNext = catalog.load(spark, "url_seen") match {
           case Some(prev) => mergeSketches(prev, buildSketchDelta(spark, newKeys, cfg))
           case None => buildSketchDelta(spark, newKeys, cfg)
         }
+        frontierNext.persist() // backs both the table write and the lineage agg
         val lineage = frontierNext
           .withColumn("partition_id", CrawlRound.partitionIdOf(col("canon_url"), cfg.numPartitions))
           .groupBy("partition_id").agg(count(lit(1)).as("frontier_rows"))
@@ -144,6 +146,7 @@ object Crawl {
             "deduped_bloom_definite" -> res.dedupedBloomDefinite,
             "deduped_exact" -> res.dedupedExact,
             "text_mismatches" -> res.textMismatches))
+        (out.persisted :+ frontierNext).foreach(_.unpersist())
         results += res
         if (res.fetched == 0L) continue = false
       }

@@ -38,6 +38,16 @@ import graft.sketch.{SeenFilter, SketchAgg}
  */
 object CrawlRound {
 
+  /** Round outputs + the frames run() persisted (caller unpersists after
+    * commit — they back the committed writes, so not before). */
+  final case class RoundOutput(
+      fetchLog: DataFrame,
+      frontierNext: DataFrame,
+      seenExactNext: DataFrame,
+      newKeys: DataFrame,
+      result: RoundResult,
+      persisted: Seq[DataFrame])
+
   final case class RoundResult(
       round: Int,
       fetched: Long,
@@ -106,7 +116,7 @@ object CrawlRound {
       robotsRules: DataFrame,
       cfg: CrawlConfig,
       round: Int,
-      fetchSeqBase: Long): (DataFrame, DataFrame, DataFrame, DataFrame, RoundResult) = {
+      fetchSeqBase: Long): RoundOutput = {
     import spark.implicits._
 
     // ---- 1. eligibility: scheme + depth (pushable predicates, SURVEY 21/22)
@@ -140,6 +150,7 @@ object CrawlRound {
       .sortWithinPartitions(col("host"), col("depth"), col("discovery_round"), col("canon_url"))
       .as[Candidate]
     val scheduled = TokenBucket.schedule(cands, cfg.burst, cfg.ratePerSec).toDF()
+    scheduled.persist() // reused by the fetch join AND the frontier anti-join
 
     // ---- 6. fetch = equi-join vs canonical corpus (op 27); left_outer keeps 404s
     val fetched = scheduled.join(pagesCanon, Seq("canon_url"), "left_outer")
@@ -213,13 +224,18 @@ object CrawlRound {
       .unionByName(newEntries)
     val seenExactNext = seenExact.unionByName(newEntries.select(col("canon_url")))
 
-    // ---- 12. metrics (single multi-agg pass where possible)
-    val nFetched = logged.count()
-    val nMismatch = logged.filter(!col("text_match")).count()
-    val nDiscovered = firstSeenInBatch.count()
-    val nMight = mustVerify.count()
-    val nVerifiedNew = verifiedNew.count()
+    // ---- 12. metrics — one aggregate pass per cached frame, not one action
+    // per counter (every extra action re-runs whatever isn't persisted)
+    val Array(nFetched, nMismatch) = {
+      val r = logged.agg(count(lit(1)), sum(when(!col("text_match"), 1L).otherwise(0L))).head()
+      Array(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val Array(nDiscovered, nMight) = {
+      val r = flagged.agg(count(lit(1)), sum(when(col("might_seen"), 1L).otherwise(0L))).head()
+      Array(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     val nNew = newEntries.count()
+    val nVerifiedNew = nNew - (nDiscovered - nMight) // new = definitelyNew + verifiedNew
     val nDenied = denied.count()
     val result = RoundResult(
       round = round,
@@ -232,6 +248,9 @@ object CrawlRound {
       textMismatches = nMismatch,
       frontierLeft = -1L)
 
-    (fetchLog, frontierNext, seenExactNext, newEntries.select(col("canon_url")), result)
+    flagged.unpersist()
+    RoundOutput(fetchLog, frontierNext, seenExactNext,
+      newEntries.select(col("canon_url")), result,
+      persisted = Seq(logged, scheduled, newEntries))
   }
 }

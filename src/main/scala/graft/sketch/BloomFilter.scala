@@ -15,7 +15,8 @@ package graft.sketch
  * Word-array OR-merge is associative+commutative ⇒ usable as the partial/
  * final merge of an Aggregator (SURVEY.md op 35).
  */
-final class BloomFilter private (val numBits: Int, val numHashes: Int, val words: Array[Long]) {
+final class BloomFilter private (val numBits: Int, val numHashes: Int, val words: Array[Long])
+    extends Serializable {
 
   def insert(key: Long): Unit = {
     val h1 = BloomFilter.mix1(key)

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.crawl._
+import graft.sketch.KeyHash
+
+class CrawlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val cfg = CrawlConfig(
+    maxDepth = 6, hostBudget = 16, roundBudget = 2048,
+    ratePerSec = 2.0, burst = 4, numPartitions = 8,
+    bloomExpectedPerPartition = 4096)
+
+  /** Build corpus+robots in memory, bootstrap a catalog, run K rounds. */
+  private def runCrawl(dir: String, nPages: Long, nSeeds: Int, rounds: Int,
+                       c: CrawlConfig = cfg): (StateCatalog, Seq[CrawlRound.RoundResult], FixtureGen.Universe) = {
+    import spark.implicits._
+    val uni = FixtureGen.Universe(nPages)
+    val pages = spark.range(nPages).map(p => uni.pageRow(p)).toDF()
+    val v2 = spark.range(nPages).filter(p => uni.hasSecondVersion(p)).map(p => uni.pageRowV2(p)).toDF()
+    val robots = (0 until uni.nHosts).flatMap(i => uni.robotsBody(i).map(b => (uni.host(i), b)))
+      .toDF("host", "robots_body")
+    val catalog = new HadoopSnapshotCatalog(dir)
+    Crawl.bootstrap(spark, catalog, pages.unionByName(v2), robots, uni.seeds(nSeeds), c)
+    val results = Crawl.runRounds(spark, catalog, c, rounds)
+    (catalog, results, uni)
+  }
+
+  private def tmp(): String = Files.createTempDirectory("crawlspec").toString
+
+  test("three rounds end-to-end: fetches happen, text parity is exact") {
+    val (catalog, results, _) = runCrawl(tmp(), 1000, 8, 3)
+    assert(results.nonEmpty && results.head.fetched > 0)
+    results.foreach { r =>
+      assert(r.textMismatches == 0, s"round ${r.round}: ${r.textMismatches} text mismatches")
+    }
+    val log = Crawl.fullFetchLog(spark, catalog)
+    val n = log.count()
+    assert(n == results.map(_.fetched).sum)
+    // fetch_seq is the contiguous global crawl order 0..n-1
+    val seqs = log.select("fetch_seq").orderBy("fetch_seq").collect().map(_.getLong(0))
+    assert(seqs.toSeq == (0L until n).toSeq, "fetch_seq not contiguous")
+  }
+
+  test("politeness: per-host round budget respected; offsets follow the token bucket") {
+    val (catalog, results, _) = runCrawl(tmp(), 1000, 8, 2)
+    val log = Crawl.fullFetchLog(spark, catalog)
+    import graft.functions.UrlExpressions.url_host
+    val perHost = log.withColumn("host", url_host(col("canon_url")))
+      .groupBy("round", "host").count().collect()
+    perHost.foreach(r => assert(r.getLong(2) <= cfg.hostBudget,
+      s"host ${r.getString(1)} round ${r.getInt(0)}: ${r.getLong(2)} > ${cfg.hostBudget}"))
+    // closed form: offset = max(0, rank-burst+1)/rate*1000 for within-host rank
+    val offs = log.withColumn("host", url_host(col("canon_url")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("round", "host")
+          .orderBy("scheduled_offset_ms", "canon_url")) - 1)
+      .select("scheduled_offset_ms", "rank").collect()
+    offs.foreach { r =>
+      val expected = math.max(0L, (r.getInt(1) - cfg.burst + 1)) * (1000.0 / cfg.ratePerSec)
+      assert(r.getLong(0) == expected.toLong,
+        s"rank ${r.getInt(1)}: offset ${r.getLong(0)} != ${expected.toLong}")
+    }
+  }
+
+  test("robots: no fetched URL violates its host's rules") {
+    val (catalog, _, uni) = runCrawl(tmp(), 1000, 8, 3)
+    val log = Crawl.fullFetchLog(spark, catalog)
+    val fetched = log.select("canon_url").collect().map(_.getString(0))
+    val bodies = (0 until uni.nHosts).map(i => uni.host(i) -> uni.robotsBody(i)).toMap
+    fetched.foreach { u =>
+      val host = graft.urls.UrlCanon.hostOf(u)
+      bodies.get(host).flatten.foreach { body =>
+        val rules = graft.robots.Robots.parse(body)
+        val path = u.substring(u.indexOf(host) + host.length)
+        assert(graft.robots.Robots.allows(rules, cfg.userAgent, if (path.isEmpty) "/" else path),
+          s"fetched $u violates robots of $host")
+      }
+    }
+  }
+
+  test("URL-seen: exact set equals seeds ∪ enqueued; sketches have no false negatives") {
+    val (catalog, results, _) = runCrawl(tmp(), 1000, 8, 3)
+    val seen = catalog.load(spark, "url_seen_exact").get
+    assert(seen.count() == seen.select("canon_url").distinct().count(), "seen set has dups")
+    // frontier ⊆ seen
+    val frontier = catalog.load(spark, "frontier").get
+    assert(frontier.join(seen, Seq("canon_url"), "left_anti").count() == 0)
+    // every seen url is positive in its partition's sketch
+    val sketches = Crawl.loadSketches(spark, catalog)
+    val urls = seen.collect().map(_.getString(0))
+    urls.foreach { u =>
+      val pid = KeyHash.pidOf(u, cfg.numPartitions)
+      assert(sketches.contains(pid) && sketches(pid).mightContain(KeyHash.of(u)),
+        s"sketch false negative for $u (pid $pid)")
+    }
+  }
+
+  test("determinism: identical fetch_log across two full runs") {
+    val (catA, _, _) = runCrawl(tmp(), 1000, 8, 3)
+    val (catB, _, _) = runCrawl(tmp(), 1000, 8, 3)
+    val a = Crawl.fullFetchLog(spark, catA).orderBy("fetch_seq")
+      .select("fetch_seq", "canon_url", "status", "scheduled_offset_ms", "text_sha256").collect()
+    val b = Crawl.fullFetchLog(spark, catB).orderBy("fetch_seq")
+      .select("fetch_seq", "canon_url", "status", "scheduled_offset_ms", "text_sha256").collect()
+    assert(a.length == b.length && a.sameElements(b), "two runs diverged")
+  }
+
+  test("resume: rounds 1-3 ≡ rounds 1-2 then resume 3 (fresh catalog handle)") {
+    val dirA = tmp(); val dirB = tmp()
+    runCrawl(dirA, 1000, 8, 3)
+    val (catB0, _, _) = runCrawl(dirB, 1000, 8, 2)
+    // resume with a brand-new catalog object — state only from disk
+    val catB = new HadoopSnapshotCatalog(dirB)
+    Crawl.runRounds(spark, catB, cfg, 1)
+    val a = Crawl.fullFetchLog(spark, new HadoopSnapshotCatalog(dirA))
+      .orderBy("fetch_seq").select("fetch_seq", "canon_url", "status").collect()
+    val b = Crawl.fullFetchLog(spark, catB)
+      .orderBy("fetch_seq").select("fetch_seq", "canon_url", "status").collect()
+    assert(a.length == b.length && a.sameElements(b), "resumed run diverged")
+  }
+
+  test("cuckoo tier: same crawl, delete-capable seen filter") {
+    val c2 = cfg.copy(filterKind = "cuckoo")
+    val (catalog, results, _) = runCrawl(tmp(), 500, 4, 2, c2)
+    assert(results.head.fetched > 0)
+    val sketches = Crawl.loadSketches(spark, catalog)
+    val seen = catalog.load(spark, "url_seen_exact").get.collect().map(_.getString(0))
+    seen.foreach { u =>
+      val pid = KeyHash.pidOf(u, c2.numPartitions)
+      assert(sketches(pid).mightContain(KeyHash.of(u)), s"cuckoo false negative for $u")
+    }
+  }
+}

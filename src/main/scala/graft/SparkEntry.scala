@@ -1,13 +1,690 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.crawl.{Crawl, CrawlConfig, CrawlRound, HadoopSnapshotCatalog, FixtureGen}
+import graft.dedup.Dedup
+import graft.functions.{CrawlUdfs, UrlExpressions}
+import graft.multimodal.Multimodal
+import graft.operators.Ranks
+import graft.sim.Similarity
+import graft.sketch.{KeyHash, SeenFilter}
+import graft.text.TextAnalysis
+
+/**
+ * Driver contract (SURVEY.md §3.2): one named DataFrame per implemented
+ * operator family, each with an equivalent DuckDB SQL oracle where the
+ * semantics are SQL-expressible. Operator coverage map (SURVEY.md §2):
+ *
+ *   q01–q10  relational machinery: agg/joins/windows/rollup/as-of/sessions
+ *            (ops 27–46 of §2.D–§2.H)
+ *   q11–q20  crawl-domain: canonicalize/host_rev/url parse (6,7,9), set ops
+ *            (44–46), first-discovery dedup (23), global budget (39),
+ *            global seq (41), politeness token bucket (47,48), bloom (24,35),
+ *            cuckoo (25), robots (13,14,28)
+ *   q21–q31  training-data pipeline: lang-ID, quality, tokens, fingerprints,
+ *            exact/ngram/minhash/simhash/embedding dedup, ANN
+ *   q32–q35  multimodal plumbing, crawl end-to-end, winnowing
+ *
+ * Oracle parity discipline: every compared double is either produced by
+ * identical single IEEE ops on integer-derived values (ratios, quantized
+ * cosine) or by exact decimal summation cast to double at the end — never
+ * by engine-ordered float accumulation (DuckDB's list_cosine_similarity is
+ * float32; Spark's sum(double) is partial-agg-ordered — both are traps this
+ * file deliberately avoids).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- flagship: one crawl round over a deterministic synthetic web ------
+  /** Flagship on sf0.001-equivalent scale; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = crawlFetchLog(spark, 300, 1)
+
+  /** Generate a fixture web, bootstrap, run `rounds`, return the fetch log. */
+  private def crawlFetchLog(spark: SparkSession, nPages: Int, rounds: Int): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir")), "graft_crawl").toString
+    FixtureGen.write(spark, dir, nPages, nSeeds = 8, numPartitions = 8)
+    val cfg = CrawlConfig(numPartitions = 8, hostBudget = 8, roundBudget = 512,
+      bloomExpectedPerPartition = 1 << 12)
+    val catalog = new HadoopSnapshotCatalog(s"$dir/catalog")
+    val pages = spark.read.parquet(s"$dir/pages.parquet")
+    val robots = spark.read.parquet(s"$dir/robots.parquet")
+    val seeds = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/seeds.txt"))).split("\n").toSeq
+    Crawl.bootstrap(spark, catalog, pages, robots, seeds, cfg)
+    Crawl.runRounds(spark, catalog, cfg, rounds)
+    Crawl.fullFetchLog(spark, catalog).orderBy(col("fetch_seq"))
+  }
+
+  // ---- shared builders -----------------------------------------------------
+
+  /** Messy-URL table derived from `customer` — exercises every RFC 3986
+    * §6.2.2/§6.2.3 equivalence class the canonicalizer handles. */
+  private def messyUrls(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(col("c_custkey"),
+      concat(lit("HTTP://WWW.EX"), pmod(col("c_custkey"), lit(20)), lit(".COM:80/a/./b/../c/x%2fy/%7Ez/p"),
+        col("c_custkey"), lit("?id="), col("c_custkey"), lit("#f")).as("raw_url"))
+
+  /** Synthetic frontier rows from `orders` (collisions by construction). */
+  private def syntheticFrontier(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").select(
+      concat(lit("https://h"), pmod(col("o_custkey"), lit(50)), lit(".com/o"),
+        pmod(col("o_orderkey"), lit(1000))).as("canon_url"),
+      concat(lit("https://h"), pmod(col("o_custkey"), lit(50)), lit(".com/o"),
+        pmod(col("o_orderkey"), lit(1000)), lit("?r="), col("o_orderkey")).as("raw_url"),
+      concat(lit("h"), pmod(col("o_custkey"), lit(50)), lit(".com")).as("host"),
+      concat(lit("com.h"), pmod(col("o_custkey"), lit(50))).as("host_rev"),
+      pmod(col("o_orderkey"), lit(5)).cast("int").as("depth"),
+      pmod(col("o_orderkey"), lit(3)).cast("int").as("discovery_round"),
+      concat(lit("https://s"), pmod(col("o_custkey"), lit(7))).as("src_url"))
+
+  /** documents ∪ shifted copy — guarantees exact-duplicate groups. */
+  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+  }
+
+  private def quantizedEmb(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").select(col("vec_id"), col("label"),
+      Similarity.quantize(col("embedding")).as("qv"))
+
+  // ---- the query map -------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- relational core (§2.D–H) ----------------
+    "q01_tpch_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_join_broadcast" -> ((s, d) => {
+      t(s, d, "orders").join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q03_join_multi" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q04_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    "q05_anti_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q06_semi_join" -> ((s, d) => {
+      t(s, d, "part")
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "q07_rollup" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("day", to_date(col("ts")))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+    }),
+
+    "q08_asof_latest" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max_by(
+          struct(col("ts"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("e"))
+        .select(col("user_id"), col("e.ts").as("ts"), col("e.event_id").as("event_id"),
+          col("e.event_type").as("event_type"), col("e.value").as("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    "q09_tumbling_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    "q10_sessionize" -> ((s, d) => {
+      // events.ts is TIMESTAMP_NTZ in the parquet; session TZ is pinned UTC,
+      // so the NTZ→LTZ cast is value-preserving and unix_micros applies.
+      t(s, d, "events")
+        .withColumn("tus", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("new_sess",
+          when(col("tus") - lag(col("tus"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id")))
+            > 1800000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg((sum(col("new_sess")) + 1L).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---------------- crawl-domain ops ----------------
+    "q11_url_canon" -> ((s, d) => {
+      messyUrls(s, d)
+        .select(col("c_custkey"), UrlExpressions.canonicalize_url(col("raw_url")).as("canon_url"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q12_url_parts" -> ((s, d) => {
+      val canon = UrlExpressions.canonicalize_url(col("raw_url"))
+      messyUrls(s, d)
+        .select(col("c_custkey"),
+          UrlExpressions.url_host(canon).as("host"),
+          UrlExpressions.host_rev(UrlExpressions.url_host(canon)).as("host_rev"),
+          CrawlUdfs.urlPath(canon).as("path"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q13_set_ops" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey").as("k"))
+      val o = t(s, d, "orders").select(col("o_custkey").as("k"))
+      c.union(o).distinct().agg(count(lit(1)).as("n_union"))
+        .crossJoin(c.intersect(o).agg(count(lit(1)).as("n_intersect")))
+        .crossJoin(c.except(o).agg(count(lit(1)).as("n_except")))
+    }),
+
+    "q14_first_discovery" -> ((s, d) => {
+      CrawlRound.firstDiscoveryWins(syntheticFrontier(s, d))
+        .orderBy(col("canon_url"))
+    }),
+
+    "q15_global_budget" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .limit(1000)
+    }),
+
+    "q16_global_seq" -> ((s, d) => {
+      Ranks.globalSeq(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber")),
+        "seq", Seq(col("l_orderkey").asc, col("l_linenumber").asc), 8)
+        .orderBy(col("seq"))
+    }),
+
+    "q17_politeness" -> ((s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy(col("host")).orderBy(col("canon_url"))
+      val cands = t(s, d, "orders")
+        .select(
+          concat(lit("h"), pmod(col("o_custkey"), lit(50)), lit(".com")).as("host"),
+          concat(lit("https://h"), pmod(col("o_custkey"), lit(50)), lit(".com/o"),
+            col("o_orderkey")).as("canon_url"))
+        .withColumn("host_rank", row_number().over(w))
+        .filter(col("host_rank") <= 16)
+        .withColumn("host_rev", UrlExpressions.host_rev(col("host")))
+        .withColumn("depth", lit(0)).withColumn("discovery_round", lit(0))
+        .select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
+          col("discovery_round"), col("host_rank").cast("int").as("host_rank"))
+        .repartition(8, pmod(xxhash64(col("host")), lit(8)))
+        .sortWithinPartitions(col("host"), col("canon_url"))
+        .as[graft.crawl.Candidate]
+      graft.crawl.TokenBucket.schedule(cands, burst = 4, ratePerSec = 2.0).toDF()
+        .select(col("canon_url"), col("host"), col("host_rank"), col("scheduled_offset_ms"))
+        .orderBy(col("canon_url"))
+    }),
+
+    "q18_bloom" -> ((s, d) => {
+      val keys = t(s, d, "customer")
+        .select(concat(lit("https://c"), col("c_custkey"), lit(".example.com/")).as("canon_url"))
+      sketchMembership(s, keys, CrawlConfig(numPartitions = 8,
+        bloomExpectedPerPartition = 1024, filterKind = "bloom"))
+    }),
+
+    "q19_cuckoo" -> ((s, d) => {
+      val keys = t(s, d, "customer")
+        .select(concat(lit("https://c"), col("c_custkey"), lit(".example.com/")).as("canon_url"))
+      sketchMembership(s, keys, CrawlConfig(numPartitions = 8,
+        bloomExpectedPerPartition = 1024, filterKind = "cuckoo"))
+    }),
+
+    "q20_robots" -> ((s, d) => {
+      import s.implicits._
+      val robots = s.range(50).select(
+        concat(lit("h"), col("id"), lit(".com")).as("host"),
+        when(pmod(col("id"), lit(2)) === 1,
+          lit("User-agent: *\nDisallow: /priv")).otherwise(lit("User-agent: *\nDisallow:"))
+          .as("robots_body"))
+        .withColumn("rules", CrawlUdfs.robots_parse(col("robots_body")))
+        .select("host", "rules")
+      val urls = t(s, d, "orders").select(
+        concat(lit("h"), pmod(col("o_custkey"), lit(50)), lit(".com")).as("host"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0,
+          concat(lit("/priv/a"), col("o_orderkey")))
+          .otherwise(concat(lit("/pub/a"), col("o_orderkey"))).as("path"))
+        .withColumn("url", concat(lit("https://"), col("host"), col("path")))
+      urls.join(broadcast(robots), Seq("host"), "left_outer")
+        .withColumn("allowed",
+          CrawlUdfs.robots_allows(col("rules"), lit("crawlerspark"), col("path")))
+        .select(col("url"), col("host"), col("allowed"))
+        .orderBy(col("url"))
+    }),
+
+    // ---------------- text analysis ----------------
+    "q21_lang_id" -> ((s, d) => {
+      val scoreCols = TextAnalysis.langMarkers.map { case (l, _) =>
+        TextAnalysis.langScore(col("text"), l).as(s"s_$l") }
+      t(s, d, "documents")
+        .select(col("doc_id") +: scoreCols :+ TextAnalysis.langId(col("text")).as("pred_lang"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q22_quality" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text"))
+          :+ TextAnalysis.qualityScore(col("text")).as("quality_score"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q23_token_counts" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q24_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------- dedup ----------------
+    "q25_dedup_exact" -> ((s, d) => {
+      Dedup.exactDupGroups(docsWithDups(s, d))
+        .select(col("fp"), col("n_dups"), col("keep_id"))
+        .orderBy(col("fp"))
+    }),
+
+    "q26_ngram_jaccard" -> ((s, d) => {
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "source", minJ = 0.02)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q27_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashNearDupPairs(docsWithDups(s, d), k = 32, bands = 8, minJ = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q28_simhash" -> ((s, d) => {
+      Dedup.simhashNearDupPairs(docsWithDups(s, d), maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q29_embedding_neardup" -> ((s, d) => {
+      val e = quantizedEmb(s, d)
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("qv").as("qa"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("qv").as("qb"))
+      a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.intCosine(col("qa"), col("qb")))
+        .filter(col("cos") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q30_ann_bruteforce" -> ((s, d) => {
+      val e = quantizedEmb(s, d)
+      val q = e.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"), col("qv").as("qq"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("qv").as("qc"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+      c.join(broadcast(q))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", Similarity.intCosine(col("qq"), col("qc")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q31_ann_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.lshAnnTopK(e, e.filter(col("vec_id") < 20), k = 5, nBits = 6)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---------------- multimodal / e2e / winnowing ----------------
+    "q32_media_meta" -> ((s, d) => {
+      Multimodal.mediaFromDocuments(t(s, d, "documents"))
+        .select(col("doc_id"), col("media_type"), col("n_bytes"), col("width"), col("height"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q33_media_features" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.mediaFromDocuments(t(s, d, "documents"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"), col("mean_byte"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q34_crawl_e2e" -> ((s, d) => crawlFetchLog(s, 500, 2)),
+
+    "q35_winnowing" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.winnowingFingerprints(col("text"))).as("n_fps"))
+        .orderBy(col("doc_id"))
+    }))
+
+  /** Build partitioned sketches over `keys`, probe every key back through
+    * the deserialized filters: (n_keys, false_negatives) — the membership
+    * contract is zero false negatives, which the SQL oracle states as a
+    * constant the engine must reproduce. */
+  private def sketchMembership(s: SparkSession, keys: DataFrame, cfg: CrawlConfig): DataFrame = {
+    val sketchDf = Crawl.buildSketchDelta(s, keys, cfg)
+    val sketches = sketchDf.select("partition_id", "sketch").collect()
+      .map(r => r.getInt(0) -> SeenFilter.deserialize(r.getAs[Array[Byte]](1))).toMap
+    val b = s.sparkContext.broadcast(sketches)
+    val p = cfg.numPartitions
+    val contains = udf((canon: String) =>
+      b.value.get(KeyHash.pidOf(canon, p)).exists(_.mightContain(KeyHash.of(canon))))
+    keys.withColumn("hit", contains(col("canon_url")))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(!col("hit"), 1L).otherwise(0L)).as("false_negatives"))
+  }
+
+  // ---- DuckDB oracle SQL ---------------------------------------------------
+
+  /** SQL snippet: normalized text of `c` (mirror of TextAnalysis.normText). */
+  private def sqlNorm(c: String): String =
+    s"trim(regexp_replace(lower($c), '\\s+', ' ', 'g'))"
+  private def sqlPadded(c: String): String = s"(' ' || ${sqlNorm(c)} || ' ')"
+  /** Mirror of TextAnalysis.countOcc (replace-trick, integer-exact). */
+  private def sqlCountOcc(expr: String, token: String): String =
+    s"CAST((length($expr) - length(replace($expr, '$token', ''))) / ${token.length} AS BIGINT)"
+  private def sqlLangScore(lang: String): String =
+    TextAnalysis.langMarkers.toMap.apply(lang)
+      .map(w => sqlCountOcc("pt", s" $w ")).mkString("(", " + ", ")")
+  /** Mirror of Dedup.shingles: distinct word-3-gram list over tokens `t`. */
+  private val sqlShingles: String =
+    "list_distinct(CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [nt] END)"
+  /** Mirror of Similarity.quantize/intCosine over list columns a/b. */
+  private def sqlQv(col: String): String =
+    s"list_transform($col, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+  private def sqlIntDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
+  private def sqlIntCos(a: String, b: String): String = {
+    val nn = s"(sqrt(CAST(${sqlIntDot(a, a)} AS DOUBLE)) * sqrt(CAST(${sqlIntDot(b, b)} AS DOUBLE)))"
+    s"(CASE WHEN $nn = 0.0 THEN 0.0 ELSE CAST(${sqlIntDot(a, b)} AS DOUBLE) / $nn END)"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_tpch_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | count(*) AS n,
+        | sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q02_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q03_join_multi" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q04_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        | FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q07_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "q08_asof_latest" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        | SELECT user_id, ts, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q09_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q10_sessionize" ->
+      """WITH f AS (
+        | SELECT user_id,
+        |  CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |   (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+        |  THEN 1 ELSE 0 END AS fl
+        | FROM events)
+        |SELECT user_id, CAST(sum(fl) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_url_canon" ->
+      """SELECT c_custkey,
+        | 'http://www.ex' || (c_custkey % 20) || '.com/a/c/x%2Fy/~z/p' || c_custkey
+        |   || '?id=' || c_custkey AS canon_url
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q12_url_parts" ->
+      """SELECT c_custkey,
+        | 'www.ex' || (c_custkey % 20) || '.com' AS host,
+        | array_to_string(list_reverse(string_split('www.ex' || (c_custkey % 20) || '.com', '.')), '.') AS host_rev,
+        | '/a/c/x%2Fy/~z/p' || c_custkey || '?id=' || c_custkey AS path
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q13_set_ops" ->
+      """SELECT
+        | (SELECT CAST(count(*) AS BIGINT) FROM
+        |   (SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders)) AS n_union,
+        | (SELECT CAST(count(*) AS BIGINT) FROM
+        |   (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)) AS n_intersect,
+        | (SELECT CAST(count(*) AS BIGINT) FROM
+        |   (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)) AS n_except""".stripMargin,
+
+    "q14_first_discovery" ->
+      """WITH fr AS (
+        | SELECT 'https://h' || (o_custkey % 50) || '.com/o' || (o_orderkey % 1000) AS canon_url,
+        |  'https://h' || (o_custkey % 50) || '.com/o' || (o_orderkey % 1000) || '?r=' || o_orderkey AS raw_url,
+        |  'h' || (o_custkey % 50) || '.com' AS host,
+        |  'com.h' || (o_custkey % 50) AS host_rev,
+        |  CAST(o_orderkey % 5 AS INTEGER) AS depth,
+        |  CAST(o_orderkey % 3 AS INTEGER) AS discovery_round,
+        |  'https://s' || (o_custkey % 7) AS src_url
+        | FROM orders)
+        |SELECT canon_url, raw_url, host, host_rev, depth, discovery_round, src_url FROM (
+        | SELECT *, row_number() OVER (PARTITION BY canon_url
+        |  ORDER BY depth, discovery_round, src_url, raw_url, host, host_rev) AS rn
+        | FROM fr) WHERE rn = 1 ORDER BY canon_url""".stripMargin,
+
+    "q15_global_budget" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "q16_global_seq" ->
+      """SELECT l_orderkey, l_linenumber,
+        | row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS seq
+        |FROM lineitem ORDER BY seq""".stripMargin,
+
+    "q17_politeness" ->
+      """WITH u AS (
+        | SELECT 'h' || (o_custkey % 50) || '.com' AS host,
+        |  'https://h' || (o_custkey % 50) || '.com/o' || o_orderkey AS canon_url
+        | FROM orders),
+        |r AS (SELECT host, canon_url,
+        |  row_number() OVER (PARTITION BY host ORDER BY canon_url) AS host_rank FROM u)
+        |SELECT canon_url, host, CAST(host_rank AS INTEGER) AS host_rank,
+        | CAST(greatest(0, host_rank - 4) * 500 AS BIGINT) AS scheduled_offset_ms
+        |FROM r WHERE host_rank <= 16 ORDER BY canon_url""".stripMargin,
+
+    "q18_bloom" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(0 AS BIGINT) AS false_negatives FROM customer",
+
+    "q19_cuckoo" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(0 AS BIGINT) AS false_negatives FROM customer",
+
+    "q20_robots" ->
+      """WITH u AS (
+        | SELECT 'h' || (o_custkey % 50) || '.com' AS host,
+        |  (o_custkey % 50) % 2 AS odd_host,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN '/priv/a' || o_orderkey
+        |       ELSE '/pub/a' || o_orderkey END AS path,
+        |  o_orderkey % 3 AS m3
+        | FROM orders)
+        |SELECT 'https://' || host || path AS url, host,
+        | NOT (odd_host = 1 AND m3 = 0) AS allowed
+        |FROM u ORDER BY url""".stripMargin,
+
+    "q21_lang_id" -> {
+      val scores = TextAnalysis.langMarkers.map { case (l, _) => s"${sqlLangScore(l)} AS s_$l" }
+      val best = s"greatest(${TextAnalysis.langMarkers.map(m => s"s_${m._1}").mkString(", ")})"
+      val total = TextAnalysis.langMarkers.map(m => s"s_${m._1}").mkString(" + ")
+      val cases = TextAnalysis.langMarkers.map { case (l, _) =>
+        s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'" }.mkString(" ")
+      s"""WITH p AS (SELECT doc_id, ${sqlPadded("text")} AS pt FROM documents),
+         |s AS (SELECT doc_id, ${scores.mkString(", ")} FROM p)
+         |SELECT doc_id, s_en, s_de, s_es, s_fr,
+         | CASE $cases ELSE 'und' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q22_quality" -> {
+      val stopSum = TextAnalysis.qualityStopwords
+        .map(w => sqlCountOcc("pt", s" $w ")).mkString("(", " + ", ")")
+      s"""WITH b AS (SELECT doc_id, text, ${sqlNorm("text")} AS nt, ${sqlPadded("text")} AS pt FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CASE WHEN nt = '' THEN 0 ELSE ${sqlCountOcc("nt", " ")} + 1 END AS n_words,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+         |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS upper,
+         |  $stopSum AS stop
+         | FROM b)
+         |SELECT doc_id, n_chars, n_words,
+         | CAST(punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+         | CAST(digits AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio,
+         | CAST(upper AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS upper_ratio,
+         | CAST(stop AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS stopword_ratio,
+         | CAST(n_chars AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS avg_word_len,
+         | least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+         |  + least((CAST(stop AS DOUBLE) * 5.0) / greatest(CAST(n_words AS DOUBLE), 1.0), 1.0) * 0.3
+         |  + (1.0 - least(CAST(digits AS DOUBLE) * 3.0 / CAST(greatest(n_chars, 1) AS DOUBLE), 1.0)) * 0.3
+         |  AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q23_token_counts" ->
+      s"""WITH b AS (SELECT doc_id, text, ${sqlNorm("text")} AS nt FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN nt = '' THEN 0 ELSE ${sqlCountOcc("nt", " ")} + 1 END AS ws_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "q24_fingerprint" ->
+      s"SELECT doc_id, md5(${sqlNorm("text")}) AS fp FROM documents ORDER BY doc_id",
+
+    "q25_dedup_exact" ->
+      s"""WITH d2 AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         |SELECT md5(${sqlNorm("text")}) AS fp, count(*) AS n_dups,
+         | min(doc_id) AS keep_id
+         |FROM d2 GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+    "q26_ngram_jaccard" ->
+      s"""WITH b AS (SELECT doc_id, source, ${sqlNorm("text")} AS nt FROM documents),
+         |sh AS (SELECT doc_id, source, $sqlShingles AS s
+         |       FROM (SELECT doc_id, source, nt, string_split(nt, ' ') AS t FROM b)),
+         |pairs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) /
+         |   greatest(CAST(len(a.s) + len(c.s) AS DOUBLE) - CAST(len(list_intersect(a.s, c.s)) AS DOUBLE), 1.0) AS jaccard
+         | FROM sh a JOIN sh c ON a.source = c.source AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.02
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q29_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, ${sqlQv("embedding")} AS qv FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ${sqlIntCos("a.qv", "b.qv")} AS cos
+         | FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, ${sqlQv("embedding")} AS qv FROM embeddings),
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${sqlIntCos("q.qv", "c.qv")} AS cos
+         | FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 20),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM sc)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q32_media_meta" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CAST(doc_id % 8 * 160 + 320 AS INTEGER) AS width,
+        | CAST(doc_id % 8 * 90 + 180 AS INTEGER) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

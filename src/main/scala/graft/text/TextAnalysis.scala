@@ -1,0 +1,152 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline over a `documents`
+ * corpus: language-ID, quality scoring, token counting, fingerprinting.
+ *
+ * Design rule: everything here is built from codegen'd built-in column
+ * functions (`replace`/`length`/`regexp_*`) — no UDFs — so the hot path
+ * stays inside whole-stage codegen AND each metric has an exactly
+ * equivalent DuckDB SQL form for the driver's oracle compare. Integer
+ * counting uses the replace-trick (`(len(s) - len(replace(s, t, ''))) /
+ * len(t)`), which has identical semantics (non-overlapping, left-to-right)
+ * in every engine.
+ *
+ * Scale: all operators are embarrassingly parallel per-row projections —
+ * no shuffle, no state — so they pipeline into whatever scan feeds them
+ * and survive any scale-up linearly.
+ */
+object TextAnalysis {
+
+  /** Non-overlapping occurrence count of literal `token` in `s`. */
+  def countOcc(s: Column, token: String): Column =
+    ((length(s) - length(replace(s, lit(token), lit("")))) / lit(token.length)).cast("long")
+
+  /** Lowercased, whitespace-collapsed, trimmed text. */
+  def normText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** normText wrapped in single spaces so ' word ' literals match at both ends. */
+  def padded(text: Column): Column = concat(lit(" "), normText(text), lit(" "))
+
+  // --- language ID (n-gram/stopword heuristic; SURVEY-class op) -----------
+
+  /** Per-language marker words (surrounded by spaces when counted). The
+    * heuristic is deliberately simple — the correctness contract is that the
+    * DuckDB oracle computes the *identical* arithmetic, and the quality
+    * contract (accuracy vs the corpus `lang` label) lives in the spec. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "que", "una", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Score of one language = total marker-word occurrences. */
+  def langScore(text: Column, lang: String): Column = {
+    val p = padded(text)
+    langMarkers.toMap.apply(lang)
+      .map(w => countOcc(p, s" $w "))
+      .reduce(_ + _)
+  }
+
+  /** argmax over languages with a fixed priority order (en>de>es>fr) for
+    * ties — "und" (unknown) when no marker fires at all. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val total = scores.map(_._2).reduce(_ + _)
+    val best = scores.tail.foldLeft(when(lit(true), scores.head._2)) {
+      case (acc, (_, s)) => when(s > acc, s).otherwise(acc)
+    }
+    scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
+      when(total > 0 && s === best, lit(l)).otherwise(els)
+    }
+  }
+
+  // --- quality scoring ------------------------------------------------------
+
+  /** Word count of the normalized text (0 for blank). */
+  def wordCount(text: Column): Column = {
+    val n = normText(text)
+    when(n === "", lit(0L)).otherwise(countOcc(n, " ") + 1L)
+  }
+
+  /** Count of characters in `cls` (a regex char class body, e.g. "0-9"). */
+  def charClassCount(text: Column, cls: String): Column =
+    (length(text) - length(regexp_replace(text, s"[$cls]", ""))).cast("long")
+
+  /** Stopword list shared by quality metrics (and their SQL oracle). */
+  val qualityStopwords: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is")
+
+  /** Quality features per document. Every ratio is a single IEEE division
+    * of integer-derived values, so the DuckDB oracle that mirrors the same
+    * arithmetic is bit-identical — no round() fuzz needed. */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val nChars = length(text).cast("long")
+    val nWords = wordCount(text)
+    val punct = charClassCount(text, """.,;:!?""")
+    val digits = charClassCount(text, "0-9")
+    val upper = charClassCount(text, "A-Z")
+    val stop = qualityStopwords
+      .map(w => countOcc(padded(text), s" $w ")).reduce(_ + _)
+    val safeChars = greatest(nChars, lit(1L)).cast("double")
+    val safeWords = greatest(nWords, lit(1L)).cast("double")
+    Seq(
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      (punct.cast("double") / safeChars).as("punct_ratio"),
+      (digits.cast("double") / safeChars).as("digit_ratio"),
+      (upper.cast("double") / safeChars).as("upper_ratio"),
+      (stop.cast("double") / safeWords).as("stopword_ratio"),
+      (nChars.cast("double") / safeWords).as("avg_word_len"))
+  }
+
+  /** Composite [0,1] quality score — monotone in word count, penalizes
+    * digit/punct-heavy and stopword-free text. Same closed form in SQL. */
+  def qualityScore(text: Column): Column = {
+    val nWords = wordCount(text).cast("double")
+    val stop = qualityStopwords
+      .map(w => countOcc(padded(text), s" $w ")).reduce(_ + _).cast("double")
+    val digits = charClassCount(text, "0-9").cast("double")
+    val nChars = greatest(length(text).cast("long"), lit(1L)).cast("double")
+    val lenTerm = least(nWords / 100.0, lit(1.0))
+    val stopTerm = least((stop * 5.0) / greatest(nWords, lit(1.0)), lit(1.0))
+    val digitPenalty = lit(1.0) - least(digits * 3.0 / nChars, lit(1.0))
+    lenTerm * 0.4 + stopTerm * 0.3 + digitPenalty * 0.3
+  }
+
+  // --- token counting -------------------------------------------------------
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = wordCount(text)
+
+  /** BPE-ish pre-tokenizer count: letter runs, single digits, single
+    * non-alnum glyphs — the GPT-2-style pre-split cardinality, a cheap
+    * proxy for "how many tokens will the tokenizer emit". */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  // --- fingerprinting -------------------------------------------------------
+
+  /** Content fingerprint: md5 of the normalized text — the exact-dedup key. */
+  def fingerprintMd5(text: Column): Column = md5(normText(text))
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-gram
+    * rolling hashes, keep the min hash of each sliding window of w — a
+    * robust near-dup sketch. Built from array ops (no UDF): shingle k-grams
+    * of the char stream via substring indexing. */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 16): Column = {
+    val n = normText(text)
+    val len = length(n)
+    val grams = transform(
+      sequence(lit(1), greatest(len - (k - 1), lit(1))),
+      i => xxhash64(substring(n, i, lit(k))))
+    val windows = when(size(grams) <= w, array(array_min(grams))).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(grams) - w),
+        j => array_min(slice(grams, j + 1, lit(w))))))
+    sort_array(windows)
+  }
+}

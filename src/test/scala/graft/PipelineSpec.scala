@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** Training-data pipeline operators: text analysis, dedup family,
+  * similarity search, multimodal plumbing. Small handcrafted frames +
+  * invariants (recall vs brute force, determinism across partitionings). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // ---- text -----------------------------------------------------------------
+
+  test("lang id: marker-dominant texts classify; tie → und only when no signal") {
+    val d = docs(
+      1L -> "the cat and the dog of the house went to the park in the rain",
+      2L -> "der hund und die katze das ist der beste und die sonne",
+      3L -> "le chat et la maison les arbres des fleurs et le vent",
+      4L -> "el perro los gatos que una casa por el camino los dias",
+      5L -> "zzz qqq xxx")
+    val out = d.select($"doc_id", TextAnalysis.langId($"text").as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de")
+    assert(out(3L) == "fr"); assert(out(4L) == "es")
+    assert(out(5L) == "und")
+  }
+
+  test("quality: blank vs clean text orders correctly; ratios bounded") {
+    val d = docs(
+      1L -> "The quick brown fox jumps over the lazy dog and runs to the hills in a day of sun.",
+      2L -> "1234 5678 90!!!! ???? 00",
+      3L -> "")
+    val out = d.select(Seq($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+        ++ TextAnalysis.qualityColumns($"text"): _*)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) > out(2L), s"clean ${out(1L)} should beat junk ${out(2L)}")
+    val ratios = d.select(TextAnalysis.qualityColumns($"text"): _*).collect()
+    ratios.foreach { r =>
+      (2 until 7).foreach { i =>
+        val v = r.getDouble(i)
+        assert(!v.isNaN && v >= 0.0, s"ratio col $i negative/NaN: $v")
+      }
+    }
+  }
+
+  test("token counts: ws and bpe-ish pre-tokenizer") {
+    val d = docs(1L -> "hello world, it's 42 degrees!", 2L -> "", 3L -> "one")
+    val out = d.select($"doc_id", TextAnalysis.wsTokenCount($"text"),
+      TextAnalysis.bpeTokenCount($"text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == 5)
+    // hello | world | , | it | ' | s | 4 | 2 | degrees | ! = 10
+    assert(out(1L)._2 == 10)
+    assert(out(2L) == ((0L, 0L)))
+    assert(out(3L) == ((1L, 1L)))
+  }
+
+  test("winnowing: identical text → identical fingerprints; edit shares most") {
+    val base = "the quick brown fox jumps over the lazy dog again and again for testing"
+    val d = docs(1L -> base, 2L -> base, 3L -> base.replace("lazy", "hazy"))
+    val fps = d.select($"doc_id", TextAnalysis.winnowingFingerprints($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L))
+    val overlap = fps(1L).intersect(fps(3L)).size.toDouble / fps(1L).size
+    assert(overlap > 0.3, s"single-word edit should share fingerprints, got $overlap")
+  }
+
+  // ---- dedup ----------------------------------------------------------------
+
+  private val dupCorpus = docs(
+    1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    2L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa", // exact dup of 1
+    3L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda", // near dup of 1
+    4L -> "completely different words entirely unrelated content here now",
+    5L -> "ALPHA  beta gamma delta epsilon zeta eta theta iota kappa") // normalizes to 1
+
+  test("exact dedup: normalized-identical docs collapse to min id") {
+    val groups = Dedup.exactDupGroups(dupCorpus).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("keep_id") == 1L)
+    assert(groups.head.getAs[Long]("n_dups") == 3L) // 1, 2, 5
+    val kept = Dedup.exactDedup(dupCorpus).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("ngram jaccard: near dup found, unrelated not") {
+    val pairs = Dedup.ngramJaccardPairs(
+      dupCorpus.withColumn("source", lit("s")), "source", minJ = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((1L, 5L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH: recall 1.0 on planted near-dups vs brute-force jaccard") {
+    // 40 base docs + planted near-dups of the first 8
+    val base = (0 until 40).map { i =>
+      val words = (0 until 30).map(j => s"w${(i * 31 + j * 7) % 97}")
+      (i.toLong, words.mkString(" "))
+    }
+    val planted = (0 until 8).map { i =>
+      (100L + i, base(i)._2.replaceFirst("w\\d+", "zz"))
+    }
+    val corpus = docs((base ++ planted): _*)
+    val truth = Dedup.ngramJaccardPairs(
+      corpus.withColumn("source", lit("s")), "source", minJ = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 8, s"expected ≥8 true near-dup pairs, got ${truth.size}")
+    val found = Dedup.minhashNearDupPairs(corpus, k = 32, bands = 8, minJ = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verification step makes found ⊆ truth; recall is the LSH question
+    assert(found.subsetOf(truth), s"verified pairs must be true pairs: ${found -- truth}")
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (8 bands × 4 rows at j≥0.6)")
+  }
+
+  test("simhash: exact dups at hamming 0; pigeonhole join finds ≤3-bit pairs") {
+    val pairs = Dedup.simhashNearDupPairs(dupCorpus, maxDist = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((1L, 2L)).contains(0))
+    assert(m.get((1L, 5L)).contains(0)) // same after normalization
+    assert(!m.contains((1L, 4L)))
+  }
+
+  test("embedding near-dup + ANN: quantized cosine agrees with plain cosine ranking") {
+    val vecs = (0 until 30).map { i =>
+      val v = (0 until 16).map(j => math.sin(i * 17 + j * 3).toFloat).toArray
+      (i.toLong, v, i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val brute = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 3), k = 4)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(brute.size == 12)
+    // LSH ANN returns a subset ranking but every (q, neighbor) it returns at
+    // rank r must have cos ≤ brute rank-r cos — weaker: results ⊆ corpus ids
+    val ann = Similarity.lshAnnTopK(vecs, vecs.filter($"vec_id" < 3), k = 4, nBits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(ann.forall(p => p._2 >= 0 && p._2 < 30 && p._1 != p._2))
+    val dups = Dedup.embeddingNearDupPairs(
+      vecs.withColumn("label", lit(0)), "label", minCos = 0.999)
+    // sin-generated vectors: i and i+? rarely collide; just exercise the path
+    assert(dups.columns.toSeq == Seq("id_a", "id_b", "cos"))
+  }
+
+  test("dedup pipeline determinism: same results at different partition counts") {
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, (0 until 20).map(j => s"t${(i * 13 + j * 5) % 53}").mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(parts: Int) = Dedup.minhashNearDupPairs(
+      corpus.repartition(parts), k = 32, bands = 8, minJ = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run(2) == run(7))
+  }
+
+  // ---- multimodal -----------------------------------------------------------
+
+  test("multimodal: stub decode features are deterministic and byte-exact") {
+    val media = Multimodal.mediaFromDocuments(
+      docs(1L -> "abc", 2L -> "hello world", 3L -> "").toDF())
+      .as[Multimodal.MediaRow]
+    val feats = Multimodal.extractFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == 3)
+    assert(feats(1L).mean_byte == ('a' + 'b' + 'c') / 3.0)
+    assert(feats(1L).histogram.sum == 3)
+    assert(feats(3L).n_bytes == 0 && feats(3L).mean_byte == 0.0)
+    val frames = Multimodal.sampleFrames(media, frameSize = 4, stride = 3).collect()
+    val f2 = frames.filter(_.doc_id == 2L)
+    assert(f2.length == 3) // 11 bytes → offsets 0,3,6
+    assert(new String(f2(0).frame_bytes) == "hell")
+  }
+}

@@ -302,10 +302,16 @@ object SparkEntry {
 
     // ---------------- text analysis ----------------
     "q21_lang_id" -> ((s, d) => {
-      val scoreCols = TextAnalysis.langMarkers.map { case (l, _) =>
-        TextAnalysis.langScore(col("text"), l).as(s"s_$l") }
+      // staged: normalize once, score from the materialized column, argmax
+      // from the score columns — keeps the codegen tree linear instead of
+      // re-expanding the regexp normalization ~50x
+      val langs = TextAnalysis.langMarkers.map(_._1)
       t(s, d, "documents")
-        .select(col("doc_id") +: scoreCols :+ TextAnalysis.langId(col("text")).as("pred_lang"): _*)
+        .select(col("doc_id"), TextAnalysis.padded(col("text")).as("pt"))
+        .select(col("doc_id") +: langs.map(l =>
+          TextAnalysis.langScoreFromPadded(col("pt"), l).as(s"s_$l")): _*)
+        .withColumn("pred_lang",
+          TextAnalysis.langIdFromScores(langs.map(l => l -> col(s"s_$l"))))
         .orderBy(col("doc_id"))
     }),
 
@@ -403,9 +409,11 @@ object SparkEntry {
     "q34_crawl_e2e" -> ((s, d) => crawlFetchLog(s, 500, 2)),
 
     "q35_winnowing" -> ((s, d) => {
+      // staged (grams materialized once) — the inline form is quadratic
       t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.charGramHashes(col("text")).as("grams"))
         .select(col("doc_id"),
-          size(TextAnalysis.winnowingFingerprints(col("text"))).as("n_fps"))
+          size(TextAnalysis.winnowFromGrams(col("grams"))).as("n_fps"))
         .orderBy(col("doc_id"))
     }))
 

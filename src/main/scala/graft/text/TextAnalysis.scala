@@ -44,18 +44,24 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "que", "una", "por"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
-  /** Score of one language = total marker-word occurrences. */
-  def langScore(text: Column, lang: String): Column = {
-    val p = padded(text)
+  /** Score of one language = total marker-word occurrences over an
+    * already-padded text column (see [[padded]]). Hot paths should project
+    * the padded text ONCE and feed it here — `CollapseProject` keeps the
+    * stages separate because the normalization is non-cheap and multiply
+    * referenced, so codegen evaluates it once per row. */
+  def langScoreFromPadded(pt: Column, lang: String): Column =
     langMarkers.toMap.apply(lang)
-      .map(w => countOcc(p, s" $w "))
+      .map(w => countOcc(pt, s" $w "))
       .reduce(_ + _)
-  }
 
-  /** argmax over languages with a fixed priority order (en>de>es>fr) for
-    * ties — "und" (unknown) when no marker fires at all. */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (l, _) => l -> langScore(text, l) }
+  /** Convenience single-expression form (recomputes the normalization per
+    * marker — fine for ad-hoc use, avoid in wide projections). */
+  def langScore(text: Column, lang: String): Column =
+    langScoreFromPadded(padded(text), lang)
+
+  /** argmax over precomputed per-language score columns with a fixed
+    * priority order for ties — "und" when no marker fires at all. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val total = scores.map(_._2).reduce(_ + _)
     val best = scores.tail.foldLeft(when(lit(true), scores.head._2)) {
       case (acc, (_, s)) => when(s > acc, s).otherwise(acc)
@@ -64,6 +70,9 @@ object TextAnalysis {
       when(total > 0 && s === best, lit(l)).otherwise(els)
     }
   }
+
+  def langId(text: Column): Column =
+    langIdFromScores(langMarkers.map { case (l, _) => l -> langScore(text, l) })
 
   // --- quality scoring ------------------------------------------------------
 
@@ -133,20 +142,31 @@ object TextAnalysis {
   /** Content fingerprint: md5 of the normalized text — the exact-dedup key. */
   def fingerprintMd5(text: Column): Column = md5(normText(text))
 
-  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-gram
-    * rolling hashes, keep the min hash of each sliding window of w — a
-    * robust near-dup sketch. Built from array ops (no UDF): shingle k-grams
-    * of the char stream via substring indexing. */
-  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 16): Column = {
+  /** Char k-gram rolling hashes of the normalized text — stage 1 of
+    * winnowing. Project this ONCE into a column, then feed the attribute to
+    * [[winnowFromGrams]]: inlining it would re-expand the O(n·k) hash pass
+    * per window element (O(n²·k) per row — observed as a hang at 500-char
+    * docs). Same staging rule as [[langScoreFromPadded]]. */
+  def charGramHashes(text: Column, k: Int = 8): Column = {
     val n = normText(text)
-    val len = length(n)
-    val grams = transform(
-      sequence(lit(1), greatest(len - (k - 1), lit(1))),
+    transform(
+      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
       i => xxhash64(substring(n, i, lit(k))))
+  }
+
+  /** Winnowing (Schleimer et al., SIGMOD'03) stage 2: min hash of each
+    * sliding window of `w` grams, deduped+sorted. `grams` must be a
+    * materialized column attribute (see [[charGramHashes]]). */
+  def winnowFromGrams(grams: Column, w: Int = 16): Column = {
     val windows = when(size(grams) <= w, array(array_min(grams))).otherwise(
       array_distinct(transform(
         sequence(lit(0), size(grams) - w),
         j => array_min(slice(grams, j + 1, lit(w))))))
     sort_array(windows)
   }
+
+  /** Single-expression convenience form — ONLY for short texts/tests (the
+    * unstaged tree is quadratic; see [[charGramHashes]]). */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 16): Column =
+    winnowFromGrams(charGramHashes(text, k), w)
 }

@@ -415,6 +415,44 @@ object SparkEntry {
         .select(col("doc_id"),
           size(TextAnalysis.winnowFromGrams(col("grams"))).as("n_fps"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q36_cube" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("day", to_date(col("ts")))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+    }),
+
+    "q37_approx_distinct" -> ((s, d) => {
+      // HLL++ estimate next to the exact count — rows-only (estimator
+      // internals differ across engines by design); the relative-error
+      // contract is asserted by comparing the two columns downstream
+      t(s, d, "orders").agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custkeys"),
+        countDistinct(col("o_custkey")).as("exact_custkeys"))
+    }),
+
+    "q38_salted_join" -> ((s, d) => {
+      // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
+      // small side with salt 0..k-1, salt the fact side by hash, join on
+      // (key, salt). Result must equal the plain join — which is exactly
+      // what the oracle states in unsalted SQL.
+      val k = 8
+      val fact = t(s, d, "lineitem").select(
+        pmod(col("l_orderkey"), lit(10)).as("hot_key"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(k)))
+      val dim = t(s, d, "region").select(
+        col("r_regionkey").cast("long").as("hot_key"), col("r_name"))
+        .unionByName(t(s, d, "region").select(
+          (col("r_regionkey") + 5).cast("long").as("hot_key"), col("r_name")))
+      val dimSalted = dim.withColumn("salt", explode(sequence(lit(0L), lit(k - 1L))))
+      fact.join(dimSalted, Seq("hot_key", "salt"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("r_name"))
     }))
 
   /** Build partitioned sketches over `keys`, probe every key back through
@@ -687,6 +725,19 @@ object SparkEntry {
          | FROM sc)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q36_cube" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |FROM events GROUP BY CUBE(event_type, CAST(ts AS DATE))
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "q38_salted_join" ->
+      """WITH dim AS (
+        | SELECT CAST(r_regionkey AS BIGINT) AS hot_key, r_name FROM region
+        | UNION ALL SELECT CAST(r_regionkey + 5 AS BIGINT), r_name FROM region)
+        |SELECT r_name, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN dim ON l_orderkey % 10 = hot_key
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q32_media_meta" ->
       """SELECT doc_id,

@@ -28,10 +28,16 @@ object Crawl {
     import spark.implicits._
 
     val pagesCanon = CrawlRound.canonicalizePages(pagesRaw)
-      // bucket-shaped: co-locate by host hash so the per-round fetch join and
-      // any host-level analytics read pre-clustered data
+      // bucket by canon_url hash — the fetch join's key and the same
+      // pmod(xxhash64(canon_url), P) math as the url_seen state tables, so
+      // corpus, frontier and seen-state co-partition (SPJ story) AND page
+      // payloads spread uniformly. (Bucketing by HOST would funnel the
+      // Zipf-hot host's pages into one partition: the fetch join broadcasts
+      // the small candidate side, parse inherits the corpus partitioning,
+      // and the hot partition becomes the stage's critical path at any
+      // core count — measured as flat 8→32 scaling.)
       .repartition(cfg.numPartitions,
-        CrawlRound.partitionIdOf(graft.functions.UrlExpressions.url_host(col("canon_url")), cfg.numPartitions))
+        CrawlRound.partitionIdOf(col("canon_url"), cfg.numPartitions))
 
     val robotsRules = robotsRaw
       .withColumn("rules", CrawlUdfs.robots_parse(col("robots_body")))
@@ -111,42 +117,64 @@ object Crawl {
     var round = startRound
     var continue = true
     while (continue && round < startRound + maxRounds) {
+      val tRound = System.nanoTime()
+      def phase[T](name: String, t0: Long)(f: => T): (T, Long) = {
+        val r = f; val t1 = System.nanoTime()
+        if (sys.env.contains("GRAFT_CRAWL_TIMING"))
+          System.err.println(f"[crawl] r$round $name ${(t1 - t0) / 1e9}%.2fs")
+        (r, t1)
+      }
       val frontier = catalog.load(spark, "frontier").get
       if (frontier.isEmpty) { continue = false }
       else {
+        val (_, tLoad) = phase("load+isEmpty", tRound)(())
         val seenExact = catalog.load(spark, "url_seen_exact").get
-        val sketches = loadSketches(spark, catalog)
+        val (sketches, tSk) = phase("loadSketches", tLoad)(loadSketches(spark, catalog))
         val base = catalog.metricsOf(round - 1).getOrElse("total_fetched",
           (0 until round).map(r => catalog.metricsOf(r).getOrElse("fetched", 0L)).sum)
         val out = CrawlRound.run(spark, frontier, seenExact, sketches, pagesCanon, robotsRules,
           cfg, round, base)
-        val (fetchLog, frontierNext, seenExactNext, newKeys, res) =
-          (out.fetchLog, out.frontierNext, out.seenExactNext, out.newKeys, out.result)
         val sketchNext = catalog.load(spark, "url_seen") match {
-          case Some(prev) => mergeSketches(prev, buildSketchDelta(spark, newKeys, cfg))
-          case None => buildSketchDelta(spark, newKeys, cfg)
+          case Some(prev) => mergeSketches(prev, buildSketchDelta(spark, out.newKeys, cfg))
+          case None => buildSketchDelta(spark, out.newKeys, cfg)
         }
-        frontierNext.persist() // backs both the table write and the lineage agg
-        val lineage = frontierNext
+        out.frontierNext.persist() // backs both the table write and the lineage agg
+        val lineage = out.frontierNext
           .withColumn("partition_id", CrawlRound.partitionIdOf(col("canon_url"), cfg.numPartitions))
           .groupBy("partition_id").agg(count(lit(1)).as("frontier_rows"))
           .withColumn("round", lit(round))
-        catalog.commit(round, Map(
-          "fetch_log" -> fetchLog,
-          "frontier" -> frontierNext,
-          "url_seen_exact" -> seenExactNext,
-          "url_seen" -> sketchNext,
-          "lineage" -> lineage),
-          Map(
-            "total_fetched" -> (base + res.fetched),
-            "fetched" -> res.fetched,
-            "discovered" -> res.discovered,
-            "enqueued" -> res.enqueued,
-            "robots_denied" -> res.robotsDenied,
-            "deduped_bloom_definite" -> res.dedupedBloomDefinite,
-            "deduped_exact" -> res.dedupedExact,
-            "text_mismatches" -> res.textMismatches))
-        (out.persisted :+ frontierNext).foreach(_.unpersist())
+        // metric aggregates run CONCURRENTLY with the (parallel) commit
+        // writes — independent job DAGs over the same persisted frames; the
+        // manifest (which embeds the metrics) still lands strictly after
+        // both, so atomicity and resume semantics are unchanged. The round's
+        // serial critical path shrinks to rank + max(writes, metrics).
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: scala.concurrent.ExecutionContext = StateCatalog.commitEc
+        val resF = Future(CrawlRound.result(out))
+        val (res, tCommit) = phase("commit+metrics", tSk) {
+          catalog.commit(round, Map(
+            "fetch_log" -> out.fetchLog,
+            "frontier" -> out.frontierNext,
+            "url_seen_exact" -> out.seenExactNext,
+            "url_seen" -> sketchNext,
+            "lineage" -> lineage), {
+            val r = Await.result(resF, Duration.Inf)
+            Map(
+              "total_fetched" -> (base + r.fetched),
+              "fetched" -> r.fetched,
+              "discovered" -> r.discovered,
+              "enqueued" -> r.enqueued,
+              "robots_denied" -> r.robotsDenied,
+              "deduped_bloom_definite" -> r.dedupedBloomDefinite,
+              "deduped_exact" -> r.dedupedExact,
+              "text_mismatches" -> r.textMismatches)
+          })
+          Await.result(resF, Duration.Inf)
+        }
+        if (sys.env.contains("GRAFT_CRAWL_TIMING"))
+          System.err.println(f"[crawl] r$round TOTAL ${(tCommit - tRound) / 1e9}%.2fs fetched=${res.fetched} discovered=${res.discovered}")
+        (out.persisted :+ out.frontierNext).foreach(_.unpersist())
         results += res
         if (res.fetched == 0L) continue = false
       }

@@ -39,13 +39,20 @@ import graft.sketch.{SeenFilter, SketchAgg}
 object CrawlRound {
 
   /** Round outputs + the frames run() persisted (caller unpersists after
-    * commit — they back the committed writes, so not before). */
+    * commit — they back the committed writes, so not before). Metrics are
+    * NOT computed here: call [[result]] AFTER the commit writes have
+    * materialized the persisted frames, so the aggregates read cache
+    * instead of forcing their own first-materialization jobs (the serial
+    * per-round job floor was the crawl throughput bound, not compute). */
   final case class RoundOutput(
+      round: Int,
       fetchLog: DataFrame,
       frontierNext: DataFrame,
       seenExactNext: DataFrame,
       newKeys: DataFrame,
-      result: RoundResult,
+      denied: DataFrame,
+      logged: DataFrame,
+      flagged: DataFrame,
       persisted: Seq[DataFrame])
 
   final case class RoundResult(
@@ -72,12 +79,17 @@ object CrawlRound {
     * per canon_url, latest warc_ts wins (as-of, SURVEY op 29). Run once at
     * bootstrap, persisted bucket-shaped by the catalog. */
   def canonicalizePages(pages: DataFrame): DataFrame = {
+    // As-of dedup WITHOUT carrying the html payload through an aggregation
+    // buffer: max_by(struct(html,...)) falls back to sort-based aggregation
+    // and copies every page body per comparison (profiled as the bootstrap
+    // hot spot). Instead aggregate only the key (tiny hash agg), then
+    // semi-join the full rows back. Assumes (canon_url, warc_ts) identifies
+    // a capture uniquely — the WARC identity contract.
     val withCanon = pages.withColumn("canon_url", canonicalize_url(col("url")))
-    withCanon
-      .groupBy(col("canon_url"))
-      .agg(max_by(struct(col("warc_ts"), col("html"), col("text"), col("lang")), col("warc_ts")).as("v"))
-      .select(col("canon_url"), col("v.warc_ts").as("warc_ts"), col("v.html").as("html"),
-        col("v.text").as("ref_text"), col("v.lang").as("lang"))
+    val latest = withCanon.groupBy(col("canon_url")).agg(max(col("warc_ts")).as("warc_ts"))
+    withCanon.join(latest, Seq("canon_url", "warc_ts"), "left_semi")
+      .select(col("canon_url"), col("warc_ts"), col("html"),
+        col("text").as("ref_text"), col("lang"))
   }
 
   /** Seed list → round-0 frontier (SURVEY op 2). */
@@ -137,16 +149,31 @@ object CrawlRound {
     val ranked = allowed.withColumn("host_rank", row_number().over(hostW))
     val inBudget = ranked.filter(col("host_rank") <= cfg.hostBudget)
 
-    // ---- 4. global round budget (TakeOrderedAndProject, op 39)
-    val scheduledCand = inBudget
-      .orderBy(priorityOrder: _*)
-      .limit(cfg.roundBudget)
+    // ---- 4. global round budget (TakeOrderedAndProject, op 39).
+    // Skipped when the budget is unbounded: TakeOrdered funnels the global
+    // top-k through the driver, which is a pure serial tax when k exceeds
+    // the candidate count (ordering is irrelevant here — step 5 repartitions
+    // by host and re-sorts within partitions anyway).
+    val scheduledCand =
+      if (cfg.roundBudget == Int.MaxValue) inBudget
+      else inBudget.orderBy(priorityOrder: _*).limit(cfg.roundBudget)
 
-    // ---- 5. politeness: host-clustered token bucket (ops 47/48)
-    val cands = scheduledCand
-      .select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
-        col("discovery_round"), col("host_rank"))
-      .repartition(cfg.numPartitions, partitionIdOf(col("host"), cfg.numPartitions))
+    // ---- 5. politeness: host-clustered token bucket (ops 47/48).
+    // Host co-location: when the global budget was skipped, the window in
+    // step 3 already hash-partitioned by host and nothing since has
+    // re-shuffled — reuse that partitioning (AQE may coalesce partitions,
+    // which merges hosts but never splits one). The explicit salted
+    // repartition is only needed after the budget's TakeOrdered collapsed
+    // partitioning (or for hot-host salting at the extreme design point).
+    val clustered =
+      if (cfg.roundBudget == Int.MaxValue)
+        scheduledCand.select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
+          col("discovery_round"), col("host_rank"))
+      else scheduledCand
+        .select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
+          col("discovery_round"), col("host_rank"))
+        .repartition(cfg.numPartitions, partitionIdOf(col("host"), cfg.numPartitions))
+    val cands = clustered
       .sortWithinPartitions(col("host"), col("depth"), col("discovery_round"), col("canon_url"))
       .as[Candidate]
     val scheduled = TokenBucket.schedule(cands, cfg.burst, cfg.ratePerSec).toDF()
@@ -165,22 +192,30 @@ object CrawlRound {
       .withColumn("text_match",
         col("status") =!= 200 || (col("text") <=> col("ref_text")))
 
-    // ---- 8. fetch_seq: two-phase global rank in priority order (op 41)
-    val logged = Ranks.globalSeq(
-      parsed.select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
-        col("discovery_round"), col("scheduled_offset_ms"), col("status"),
-        size(col("outlinks")).as("n_outlinks"),
-        when(col("text").isNotNull, sha2(col("text"), 256)).as("text_sha256"),
-        col("text_match"), col("outlinks")),
-      "seq0", priorityOrder, cfg.numPartitions)
+    // ---- 8. fetch_seq: two-phase global rank in priority order (op 41).
+    // The rank's range-shuffle runs MULTIPLE jobs over its input (partition
+    // sampling + map + count passes) — persist the parsed projection first
+    // so the fetch join + parse (the round's heavy work) executes once, not
+    // once per pass. Only NARROW rows enter the rank: the outlink arrays
+    // stay behind in the cache and the discovery path (step 9) reads them
+    // directly — the two heavy paths decouple instead of serializing.
+    val parseCache = parsed.select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
+      col("discovery_round"), col("scheduled_offset_ms"), col("status"),
+      size(col("outlinks")).as("n_outlinks"),
+      when(col("text").isNotNull, sha2(col("text"), 256)).as("text_sha256"),
+      col("text_match"), col("outlinks"))
+    parseCache.persist()
+    val logged = Ranks.globalSeq(parseCache.drop("outlinks"), "seq0", priorityOrder, cfg.numPartitions)
       .withColumn("fetch_seq", col("seq0") + lit(fetchSeqBase)).drop("seq0")
     logged.persist()
 
     val fetchLog = logged.select(lit(round).as("round"), col("canon_url"), col("fetch_seq"),
       col("scheduled_offset_ms"), col("status"), col("n_outlinks"), col("text_sha256"))
+    // (logged no longer carries outlinks — n_outlinks/text columns suffice)
 
     // ---- 9. discoveries: explode outlinks, canonicalize, first-discovery-wins
-    val rawLinks = logged
+    // (reads the parse cache directly — independent of the rank in step 8)
+    val rawLinks = parseCache
       .select(col("canon_url").as("src_url"), col("depth").as("src_depth"),
         explode(col("outlinks")).as("raw_url"))
     val discovered = rawLinks
@@ -224,21 +259,27 @@ object CrawlRound {
       .unionByName(newEntries)
     val seenExactNext = seenExact.unionByName(newEntries.select(col("canon_url")))
 
-    // ---- 12. metrics — one aggregate pass per cached frame, not one action
-    // per counter (every extra action re-runs whatever isn't persisted)
+    RoundOutput(round, fetchLog, frontierNext, seenExactNext,
+      newEntries.select(col("canon_url")), denied, logged, flagged,
+      persisted = Seq(logged, parseCache, scheduled, newEntries, flagged))
+  }
+
+  /** Round metrics — one aggregate pass per cached frame, not one action
+    * per counter. Call after commit (see [[RoundOutput]] scaladoc). */
+  def result(out: RoundOutput): RoundResult = {
     val Array(nFetched, nMismatch) = {
-      val r = logged.agg(count(lit(1)), sum(when(!col("text_match"), 1L).otherwise(0L))).head()
+      val r = out.logged.agg(count(lit(1)), sum(when(!col("text_match"), 1L).otherwise(0L))).head()
       Array(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     val Array(nDiscovered, nMight) = {
-      val r = flagged.agg(count(lit(1)), sum(when(col("might_seen"), 1L).otherwise(0L))).head()
+      val r = out.flagged.agg(count(lit(1)), sum(when(col("might_seen"), 1L).otherwise(0L))).head()
       Array(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    val nNew = newEntries.count()
+    val nNew = out.newKeys.count()
     val nVerifiedNew = nNew - (nDiscovered - nMight) // new = definitelyNew + verifiedNew
-    val nDenied = denied.count()
-    val result = RoundResult(
-      round = round,
+    val nDenied = out.denied.count()
+    RoundResult(
+      round = out.round,
       fetched = nFetched,
       discovered = nDiscovered,
       enqueued = nNew,
@@ -247,10 +288,5 @@ object CrawlRound {
       dedupedExact = nMight - nVerifiedNew, // truly seen (bloom positives that held)
       textMismatches = nMismatch,
       frontierLeft = -1L)
-
-    flagged.unpersist()
-    RoundOutput(fetchLog, frontierNext, seenExactNext,
-      newEntries.select(col("canon_url")), result,
-      persisted = Seq(logged, scheduled, newEntries))
   }
 }

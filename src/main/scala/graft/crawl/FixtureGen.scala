@@ -49,7 +49,11 @@ object FixtureGen {
     }.toArray
   }
 
-  final case class Universe(nPages: Long, seed: Long = 42L) {
+  /** `textScale` multiplies the per-page sentence count: 1 ≈ 1 KB toy pages
+    * (unit/golden tests), 64 ≈ 10–25 KB — the Common-Crawl-realistic weight
+    * the bench uses so parse compute, not per-round scheduling, is what the
+    * throughput metric measures. Link structure is identical at any scale. */
+  final case class Universe(nPages: Long, seed: Long = 42L, textScale: Int = 1) {
     val nHosts: Int = math.max(16, (nPages / 64).toInt)
 
     /** Zipf(s=1.2) cumulative distribution over hosts. */
@@ -147,7 +151,7 @@ object FixtureGen {
     }
 
     def html(p: Long): String = {
-      val nS = 2 + (splitmix64(seed ^ (p * 29 + 8)) & 3L).toInt
+      val nS = (2 + (splitmix64(seed ^ (p * 29 + 8)) & 3L).toInt) * textScale
       val paras = (0 until nS).map(k => sentence(p, k)).mkString(" ")
       val links = (0 until nOutlinks(p)).map { j =>
         s"""<li><a href="${escapeAttr(outlink(p, j))}">anchor $j</a></li>"""
@@ -207,9 +211,9 @@ object FixtureGen {
     * hash-repartitioned by canonical host and sorted by host_rev within
     * partitions, html as the last column (column pruning, SURVEY §4.1). */
   def write(spark: SparkSession, dir: String, nPages: Long, nSeeds: Int,
-            numPartitions: Int = 32): Universe = {
+            numPartitions: Int = 32, textScale: Int = 1): Universe = {
     import spark.implicits._
-    val u = Universe(nPages)
+    val u = Universe(nPages, textScale = textScale)
     val pages: Dataset[PageRow] = spark.range(nPages).map { p =>
       u.pageRow(p)
     }

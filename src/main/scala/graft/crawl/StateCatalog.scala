@@ -28,8 +28,11 @@ trait StateCatalog {
   def latestRound: Option[Int]
   /** Read `table` as of the latest commit ≤ `atRound` (default: latest). */
   def load(spark: SparkSession, table: String, atRound: Option[Int] = None): Option[DataFrame]
-  /** Atomically publish a round's tables. Returns the snapshot id. */
-  def commit(round: Int, tables: Map[String, DataFrame], metrics: Map[String, Long] = Map.empty): String
+  /** Atomically publish a round's tables. Returns the snapshot id.
+    * `metrics` is by-name and evaluated AFTER the table writes, before the
+    * manifest rename — metric aggregates over frames the writes just
+    * materialized read cache instead of forcing their own jobs. */
+  def commit(round: Int, tables: Map[String, DataFrame], metrics: => Map[String, Long] = Map.empty): String
   /** Metrics map of a committed round (lineage accounting). */
   def metricsOf(round: Int): Map[String, Long]
 }
@@ -75,17 +78,29 @@ final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
     None
   }
 
-  override def commit(round: Int, tables: Map[String, DataFrame], metrics: Map[String, Long]): String = {
-    val entries = tables.map { case (name, df) =>
-      val rel = f"$name/r$round%06d"
-      val tmp = root.resolve(rel + ".tmp")
-      val fin = root.resolve(rel)
-      df.write.mode("overwrite").parquet(tmp.toString)
-      // idempotent re-commit of the same round: clear any previous final dir
-      if (Files.exists(fin)) deleteRecursively(fin)
-      Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
-      s"table.$name" -> rel
-    }
+  override def commit(round: Int, tables: Map[String, DataFrame], metrics: => Map[String, Long]): String = {
+    // Write the round's tables as CONCURRENT Spark jobs: they are
+    // independent dataflows into separate dirs, and the scheduler fills
+    // idle task slots across jobs — serializing them would add one full
+    // job-latency per table to every round (measured: the per-round serial
+    // floor, not compute, bounded crawl throughput). Atomicity is unchanged:
+    // all renames happen before the manifest write, which remains the
+    // single linearization point.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = StateCatalog.commitEc
+    val entries = Await.result(Future.traverse(tables.toSeq) { case (name, df) =>
+      Future {
+        val rel = f"$name/r$round%06d"
+        val tmp = root.resolve(rel + ".tmp")
+        val fin = root.resolve(rel)
+        df.write.mode("overwrite").parquet(tmp.toString)
+        // idempotent re-commit of the same round: clear any previous final dir
+        if (Files.exists(fin)) deleteRecursively(fin)
+        Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+        s"table.$name" -> rel
+      }
+    }, Duration.Inf).toMap
     val metricEntries = metrics.map { case (k, v) => s"metric.$k" -> v.toString }
     val snapshotId = f"r$round%06d"
     val body = (entries ++ metricEntries + ("snapshot_id" -> snapshotId) + ("round" -> round.toString))
@@ -107,4 +122,14 @@ final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
     if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
+}
+
+object StateCatalog {
+  /** Bounded pool for concurrent per-table commit jobs (driver-side action
+    * threads only — executor slots are still governed by the scheduler). */
+  private[crawl] lazy val commitEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "graft-commit"); t.setDaemon(true); t
+      }))
 }

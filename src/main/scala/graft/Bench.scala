@@ -27,7 +27,7 @@ object Bench {
       numPartitions = parts,
       // Common-Crawl-realistic page weight (~10-25 KB) — with 1 KB toy pages
       // the metric measures per-round scheduling latency, not crawl work
-      textScale = sys.env.getOrElse("SPARK_GRAFT_TEXT_SCALE", "64").toInt)
+      textScale = sys.env.getOrElse("SPARK_GRAFT_TEXT_SCALE", "128").toInt)
 
   /** Bootstrap a fresh catalog from `corpusDir`, crawl `rounds` rounds;
     * returns (fetched, discovered, elapsedSec) for the measured rounds
@@ -35,7 +35,7 @@ object Bench {
   def crawlRounds(spark: SparkSession, corpusDir: String, catalogDir: String,
       rounds: Int, parts: Int): (Long, Long, Double) = {
     val cfg = CrawlConfig(numPartitions = parts,
-      hostBudget = sys.env.getOrElse("SPARK_GRAFT_HOST_BUDGET", "256").toInt,
+      hostBudget = sys.env.getOrElse("SPARK_GRAFT_HOST_BUDGET", "1024").toInt,
       roundBudget = Int.MaxValue, bloomExpectedPerPartition = 1 << 16)
     val catalog = new HadoopSnapshotCatalog(catalogDir)
     val pages = spark.read.parquet(s"$corpusDir/pages.parquet")
@@ -125,7 +125,7 @@ object ScalingBench {
     // noise floor of a single run is large; see interleaving below)
     val shm = if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
       else sys.props("java.io.tmpdir")
-    val textScale = sys.env.getOrElse("SPARK_GRAFT_TEXT_SCALE", "64").toInt
+    val textScale = sys.env.getOrElse("SPARK_GRAFT_TEXT_SCALE", "128").toInt
     // corpus is cached by its parameters (deterministic content) so repeat
     // benches skip the expensive generation; catalogs are always fresh
     val corpus = s"$shm/graft_corpus_${nPages}_${textScale}_$P"

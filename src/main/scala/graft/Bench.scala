@@ -160,7 +160,7 @@ object ScalingBench {
     // single runs (see run list in the report); best-of-N at each level
     // estimates the machine-unconstrained capacity of the SAME deterministic
     // job, which is what core-scaling is about. Both estimators reported.
-    val effBest = (r32.max / r8.min) / 4.0
+    val effBest = (r32.max / r8.max) / 4.0
     val runDetail = runs.map { case (c, (t, _)) => f"local[$c] $t%.0f" }.mkString(", ")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
 

@@ -83,13 +83,23 @@ object CrawlRound {
     // buffer: max_by(struct(html,...)) falls back to sort-based aggregation
     // and copies every page body per comparison (profiled as the bootstrap
     // hot spot). Instead aggregate only the key (tiny hash agg), then
-    // semi-join the full rows back. Assumes (canon_url, warc_ts) identifies
-    // a capture uniquely — the WARC identity contract.
+    // semi-join the full rows back. Real WARC input can hold same-second
+    // recaptures of co-canonicalizing URLs, so warc_ts alone is not a total
+    // order: a content hash breaks ties deterministically, and the final
+    // first()-agg (same grouping keys as the semi-join ⇒ no extra shuffle)
+    // collapses byte-identical duplicate captures — the only rows that can
+    // still share (canon_url, warc_ts, cap_h) — so exactly one row per
+    // canon_url survives and its values are deterministic either way.
     val withCanon = pages.withColumn("canon_url", canonicalize_url(col("url")))
-    val latest = withCanon.groupBy(col("canon_url")).agg(max(col("warc_ts")).as("warc_ts"))
-    withCanon.join(latest, Seq("canon_url", "warc_ts"), "left_semi")
-      .select(col("canon_url"), col("warc_ts"), col("html"),
-        col("text").as("ref_text"), col("lang"))
+      .withColumn("cap_h", xxhash64(col("warc_ts"), col("html"), col("text"), col("lang")))
+    val latest = withCanon.groupBy(col("canon_url"))
+      .agg(max(struct(col("warc_ts"), col("cap_h"))).as("w"))
+      .select(col("canon_url"), col("w.warc_ts").as("warc_ts"), col("w.cap_h").as("cap_h"))
+    withCanon.join(latest, Seq("canon_url", "warc_ts", "cap_h"), "left_semi")
+      .groupBy(col("canon_url"), col("warc_ts"), col("cap_h"))
+      .agg(first(col("html")).as("html"), first(col("text")).as("ref_text"),
+        first(col("lang")).as("lang"))
+      .select(col("canon_url"), col("warc_ts"), col("html"), col("ref_text"), col("lang"))
   }
 
   /** Seed list → round-0 frontier (SURVEY op 2). */

@@ -88,19 +88,34 @@ final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
     // single linearization point.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    import scala.util.{Failure, Success, Try}
     implicit val ec: ExecutionContext = StateCatalog.commitEc
-    val entries = Await.result(Future.traverse(tables.toSeq) { case (name, df) =>
+    // Every per-table future is Try-wrapped and ALL are awaited before any
+    // rethrow: a fail-fast Await.result would leave sibling writes running
+    // detached — they could still rename final dirs for the aborted round,
+    // and an in-process retry of the round would race them on the same .tmp
+    // path. Settling first means no write of a failed commit is in flight
+    // when the caller sees the exception.
+    val settled = Await.result(Future.traverse(tables.toSeq) { case (name, df) =>
       Future {
-        val rel = f"$name/r$round%06d"
-        val tmp = root.resolve(rel + ".tmp")
-        val fin = root.resolve(rel)
-        df.write.mode("overwrite").parquet(tmp.toString)
-        // idempotent re-commit of the same round: clear any previous final dir
-        if (Files.exists(fin)) deleteRecursively(fin)
-        Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
-        s"table.$name" -> rel
+        Try {
+          val rel = f"$name/r$round%06d"
+          val tmp = root.resolve(rel + ".tmp")
+          val fin = root.resolve(rel)
+          df.write.mode("overwrite").parquet(tmp.toString)
+          // idempotent re-commit of the same round: clear any previous final dir
+          if (Files.exists(fin)) deleteRecursively(fin)
+          Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+          s"table.$name" -> rel
+        }
       }
-    }, Duration.Inf).toMap
+    }, Duration.Inf)
+    val failures = settled.collect { case Failure(e) => e }
+    if (failures.nonEmpty) {
+      failures.tail.foreach(failures.head.addSuppressed)
+      throw failures.head
+    }
+    val entries = settled.collect { case Success(kv) => kv }.toMap
     val metricEntries = metrics.map { case (k, v) => s"metric.$k" -> v.toString }
     val snapshotId = f"r$round%06d"
     val body = (entries ++ metricEntries + ("snapshot_id" -> snapshotId) + ("round" -> round.toString))

@@ -59,27 +59,28 @@ object Robots {
   def matchLen(pattern: String, path: String): Int = {
     val anchored = pattern.endsWith("$")
     val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
-    if (matches(pat, 0, path, 0, anchored)) pattern.length else -1
+    if (matches(pat, path, anchored)) pattern.length else -1
   }
 
-  private def matches(pat: String, pi0: Int, path: String, si0: Int, anchored: Boolean): Boolean = {
-    var pi = pi0; var si = si0
-    while (pi < pat.length) {
-      val pc = pat.charAt(pi)
-      if (pc == '*') {
-        // try all suffix positions (paths are short; fine)
-        var k = si
-        while (k <= path.length) {
-          if (matches(pat, pi + 1, path, k, anchored)) return true
-          k += 1
-        }
-        return false
-      } else {
-        if (si >= path.length || path.charAt(si) != pc) return false
-        pi += 1; si += 1
-      }
+  /** Iterative greedy star-matching (the classic two-pointer wildcard
+    * algorithm): O(|pat|·|path|) worst case, no recursion. Robots bodies are
+    * adversarial input by definition — the naive try-every-suffix recursion
+    * is exponential on many-star patterns (star-a repeated, `$`-anchored)
+    * and could pin a task.
+    * An un-anchored robots pattern matches a PREFIX of the path, which is
+    * exactly full-match semantics with a `*` appended. */
+  private def matches(pat0: String, path: String, anchored: Boolean): Boolean = {
+    val pat = if (anchored) pat0 else pat0 + "*"
+    var pi = 0; var si = 0
+    var starPi = -1; var starSi = 0
+    while (si < path.length) {
+      if (pi < pat.length && pat.charAt(pi) == path.charAt(si)) { pi += 1; si += 1 }
+      else if (pi < pat.length && pat.charAt(pi) == '*') { starPi = pi; pi += 1; starSi = si }
+      else if (starPi >= 0) { pi = starPi + 1; starSi += 1; si = starSi }
+      else return false
     }
-    if (anchored) si == path.length else true
+    while (pi < pat.length && pat.charAt(pi) == '*') pi += 1
+    pi == pat.length
   }
 
   /** Select the applicable group for `ua` among rule agents. */

@@ -114,7 +114,24 @@ object SketchAgg {
 
 /** Fingerprint-level cuckoo merge: re-place every occupied slot of `src`
   * into `dst` using the slot's bucket index + partial-key alternate. Both
-  * filters must share numBuckets. */
+  * filters must share numBuckets.
+  *
+  * Two contracts this merge is NOT allowed to bend:
+  *
+  *   - **no silent drops**: a dropped fingerprint is a false NEGATIVE — a
+  *     seen URL gets re-fetched and fetch_seq parity breaks. Merge runs the
+  *     same bounded eviction-kick loop as `insert` and THROWS when the
+  *     filter is genuinely saturated, so undersizing is a loud config error
+  *     (resize `bloomExpectedPerPartition` to bound the partition's TOTAL
+  *     seen-set across all rounds, not one round's delta), never a silent
+  *     parity bug;
+  *   - **multiset semantics** (Fan'14 §3.2): identical fingerprints in the
+  *     same bucket are kept as separate copies, NOT coalesced. The engine
+  *     inserts each canon_url exactly once, so same-(bucket,fp) copies only
+  *     arise from genuine fingerprint collisions between different URLs —
+  *     and exactly then, coalescing would make a later `delete` of one URL
+  *     silently remove the other's membership (a false negative again).
+  */
 object CuckooMerge {
   def mergeInto(dst: CuckooFilter, src: CuckooFilter): Unit = {
     require(dst.numBuckets == src.numBuckets, "cuckoo geometry mismatch")
@@ -125,39 +142,50 @@ object CuckooMerge {
       slot += 1
     }
     if (src.stash != 0) {
-      // stash has no bucket context; re-stash (or drop into any bucket is
-      // unsound — bucket identity is part of the key)
+      // A stash entry has NO recoverable bucket identity (it fell off the
+      // end of a kick chain), so the only slot that keeps it findable by
+      // mightContain is the destination stash itself. Occupied ⇒ saturated.
       if (dst.stash == 0) { dst.stash = src.stash; dst.count += 1 }
+      else throw new IllegalStateException(
+        "cuckoo merge: both stash slots occupied — filter saturated; " +
+          "increase bloomExpectedPerPartition (a drop would be a false negative)")
     }
   }
 
   private def insertFp(dst: CuckooFilter, bucket: Int, fp: Short): Unit = {
-    val base = bucket << 2
+    if (bucketInsert(dst, bucket, fp)) { dst.count += 1; return }
+    val alt = altBucket(dst, bucket, fp)
+    if (bucketInsert(dst, alt, fp)) { dst.count += 1; return }
+    // both buckets full: bounded eviction kicks, exactly like insert()
+    var b = bucket
+    var f = fp
+    var kick = 0
+    while (kick < CuckooFilter.MaxKicks) {
+      val slot = (b << 2) + (BloomFilter.mix1(kick.toLong ^ (f.toLong & 0xffffL)) & 3L).toInt
+      val victim = dst.table(slot)
+      dst.table(slot) = f
+      f = victim
+      b = altBucket(dst, b, f)
+      if (bucketInsert(dst, b, f)) { dst.count += 1; return }
+      kick += 1
+    }
+    if (dst.stash == 0) { dst.stash = f; dst.count += 1; return }
+    throw new IllegalStateException(
+      s"cuckoo merge saturated at ${dst.count} items / ${dst.numBuckets * 4} slots: " +
+        "a dropped fingerprint would be a URL-seen false negative. Increase " +
+        "bloomExpectedPerPartition to bound the partition's total seen-set.")
+  }
+
+  private def altBucket(dst: CuckooFilter, b: Int, fp: Short): Int =
+    (b ^ (BloomFilter.mix2(fp.toLong & 0xffffL) & (dst.numBuckets - 1)).toInt) & (dst.numBuckets - 1)
+
+  private def bucketInsert(dst: CuckooFilter, b: Int, fp: Short): Boolean = {
+    val base = b << 2
     var i = 0
     while (i < 4) {
-      if (dst.table(base + i) == fp) return // already present — idempotent
+      if (dst.table(base + i) == 0) { dst.table(base + i) = fp; return true }
       i += 1
     }
-    i = 0
-    while (i < 4) {
-      if (dst.table(base + i) == 0) { dst.table(base + i) = fp; dst.count += 1; return }
-      i += 1
-    }
-    // bucket full: try alternate bucket via the same partial-key relation
-    val alt = (bucket ^ (BloomFilter.mix2(fp.toLong & 0xffffL) & (dst.numBuckets - 1)).toInt) & (dst.numBuckets - 1)
-    val abase = alt << 2
-    i = 0
-    while (i < 4) {
-      if (dst.table(abase + i) == fp) return
-      i += 1
-    }
-    i = 0
-    while (i < 4) {
-      if (dst.table(abase + i) == 0) { dst.table(abase + i) = fp; dst.count += 1; return }
-      i += 1
-    }
-    if (dst.stash == 0) { dst.stash = fp; dst.count += 1 }
-    // else: saturated — membership may miss; create() sizes for the round's
-    // capacity so this is unreachable in practice (asserted in tests)
+    false
   }
 }

@@ -125,6 +125,26 @@ class CrawlSpec extends AnyFunSuite {
     assert(a.length == b.length && a.sameElements(b), "resumed run diverged")
   }
 
+  test("canonicalizePages: same-second recapture ties resolve to ONE deterministic row") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1767225600000L)
+    val rows = Seq(
+      // two co-canonicalizing captures with IDENTICAL warc_ts, different content
+      ("https://ex.com/a", ts, "<p>v1</p>".getBytes, "v1", "en"),
+      ("https://EX.com/a", ts, "<p>v2</p>".getBytes, "v2", "en"),
+      // a literal duplicate capture (same url, ts, content) appearing twice
+      ("https://ex.com/b", ts, "<p>w</p>".getBytes, "w", "en"),
+      ("https://ex.com/b", ts, "<p>w</p>".getBytes, "w", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val out1 = CrawlRound.canonicalizePages(rows)
+      .select("canon_url", "ref_text").collect().map(r => r.getString(0) -> r.getString(1)).sorted
+    assert(out1.length == 2, s"one row per canon_url required, got ${out1.mkString(",")}")
+    // determinism across partitionings: the tie winner must not depend on layout
+    val out2 = CrawlRound.canonicalizePages(rows.repartition(7))
+      .select("canon_url", "ref_text").collect().map(r => r.getString(0) -> r.getString(1)).sorted
+    assert(out1.sameElements(out2), "tie-break winner depends on partitioning")
+  }
+
   test("cuckoo tier: same crawl, delete-capable seen filter") {
     val c2 = cfg.copy(filterKind = "cuckoo")
     val (catalog, results, _) = runCrawl(tmp(), 500, 4, 2, c2)

@@ -81,6 +81,20 @@ class HtmlRobotsSpec extends AnyFunSuite {
     assert(!Robots.allows(rules, "x", "/tmp123x"))
   }
 
+  test("robots: pathological star patterns complete in milliseconds") {
+    // exponential-backtracking killer: many stars, near-matching long path
+    val rules = Robots.parse("User-agent: *\nDisallow: /*a*a*a*a*a*a*a*a*a*a$")
+    val path = "/" + ("ab" * 2000) + "c" // forces full backtracking search
+    val t0 = System.nanoTime()
+    val verdict = Robots.allows(rules, "x", path)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(verdict, "path does not end in 'a' so the anchored pattern must not match")
+    assert(ms < 200.0, s"pathological robots match took $ms ms — backtracking blowup")
+    // and the stars still match correctly
+    assert(!Robots.allows(rules, "x", "/" + ("xa" * 10)))
+    assert(!Robots.allows(Robots.parse("User-agent: *\nDisallow: /*mid*end"), "x", "/a/mid/b/end/c"))
+  }
+
   test("robots: missing/empty body allows everything") {
     assert(Robots.allows(Robots.parse(""), "x", "/"))
     assert(Robots.allows(Robots.parse("User-agent: *\nDisallow:"), "x", "/any"))

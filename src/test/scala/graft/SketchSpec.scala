@@ -64,6 +64,49 @@ class SketchSpec extends AnyFunSuite {
     assert((ka ++ kb).forall(a2.mightContain))
   }
 
+  test("cuckoo merge: high-load merge keeps every key or fails loud — never drops") {
+    // two filters each at ~47% load merge to ~94% — the eviction-kick path
+    // in the merge must relocate fingerprints instead of silently dropping
+    val cap = 4096
+    val a = CuckooFilter.create(cap)
+    val b = CuckooFilter.create(cap)
+    val ka = (0 until cap * 47 / 100).map(i => graft.crawl.FixtureGen.splitmix64(i.toLong + 1))
+    val kb = (0 until cap * 47 / 100).map(i => graft.crawl.FixtureGen.splitmix64(0xABCDL + i))
+    ka.foreach(k => assert(a.insert(k)))
+    kb.foreach(k => assert(b.insert(k)))
+    try {
+      CuckooMerge.mergeInto(a, b)
+      // merge succeeded ⇒ the membership contract is absolute
+      (ka ++ kb).foreach(k => assert(a.mightContain(k), s"merge dropped key $k"))
+    } catch {
+      case e: IllegalStateException =>
+        assert(e.getMessage.contains("saturated") || e.getMessage.contains("stash"),
+          s"unexpected failure mode: ${e.getMessage}")
+    }
+  }
+
+  test("cuckoo merge: genuine saturation throws instead of dropping") {
+    // tiny geometry, far over capacity: the merge MUST refuse
+    val a = CuckooFilter.create(32)
+    val b = CuckooFilter.create(32)
+    (0 until 120).foreach(i => a.insert(graft.crawl.FixtureGen.splitmix64(i.toLong)))
+    (0 until 120).foreach(i => b.insert(graft.crawl.FixtureGen.splitmix64(0xF00DL + i)))
+    intercept[IllegalStateException] { CuckooMerge.mergeInto(a, b) }
+  }
+
+  test("cuckoo merge: keeps duplicate fingerprints (multiset, delete-safe)") {
+    val a = CuckooFilter.create(256)
+    val b = CuckooFilter.create(256)
+    val k = graft.crawl.FixtureGen.splitmix64(77L)
+    a.insert(k) // same key in both filters — the merged filter must keep
+    b.insert(k) // two copies so one delete cannot erase the other's slot
+    CuckooMerge.mergeInto(a, b)
+    assert(a.delete(k))
+    assert(a.mightContain(k), "second fingerprint copy must survive one delete")
+    assert(a.delete(k))
+    assert(!a.mightContain(k))
+  }
+
   test("seen filter sniffing by magic") {
     val bf = BloomFilter.create(100, 0.01); bf.insert(42L)
     val cf = CuckooFilter.create(100); cf.insert(42L)

@@ -344,7 +344,16 @@ object SparkEntry {
     }),
 
     "q26_ngram_jaccard" -> ((s, d) => {
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), "source", minJ = 0.02)
+      // compound blocking key (source × length bucket): all-pairs Jaccard is
+      // the VERIFICATION primitive — its cost is quadratic per block, so the
+      // block must have real cardinality. Blocking on source alone made one
+      // near-degenerate block (37% of the whole round-1 bench); the length
+      // bucket cuts candidate pairs ~50x while keeping true near-dups (whose
+      // lengths agree) in-block. The scale path for unblocked discovery is
+      // q27's LSH.
+      val blocked = t(s, d, "documents").withColumn("blk",
+        concat_ws("#", col("source"), floor(length(col("text")) / 32).cast("long")))
+      Dedup.ngramJaccardPairs(blocked, "blk", minJ = 0.02)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -386,7 +395,7 @@ object SparkEntry {
 
     "q31_ann_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      Similarity.lshAnnTopK(e, e.filter(col("vec_id") < 20), k = 5, nBits = 6)
+      Similarity.lshAnnTopKExact(e, e.filter(col("vec_id") < 20), k = 5, nBits = 6, maxDim = 64)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -409,11 +418,13 @@ object SparkEntry {
     "q34_crawl_e2e" -> ((s, d) => crawlFetchLog(s, 500, 2)),
 
     "q35_winnowing" -> ((s, d) => {
-      // staged (grams materialized once) — the inline form is quadratic
+      // JVM kernel (monotonic-deque window min, md5 from the char buffer):
+      // the declarative staged form is linear but pays ~50 ms/doc in
+      // interpreted transform/slice trees — this is the one family where a
+      // deterministic UDF beats higher-order functions. Kernel ≡ declarative
+      // form is asserted by PipelineSpec; the DuckDB oracle mirrors both.
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.charGramHashes(col("text")).as("grams"))
-        .select(col("doc_id"),
-          size(TextAnalysis.winnowFromGrams(col("grams"))).as("n_fps"))
+        .select(col("doc_id"), size(TextAnalysis.winnow_udf(col("text"))).as("n_fps"))
         .orderBy(col("doc_id"))
     }),
 
@@ -426,12 +437,25 @@ object SparkEntry {
     }),
 
     "q37_approx_distinct" -> ((s, d) => {
-      // HLL++ estimate next to the exact count — rows-only (estimator
-      // internals differ across engines by design); the relative-error
-      // contract is asserted by comparing the two columns downstream
+      // HLL++ estimate vs exact count. Estimator internals differ across
+      // engines by design, so the ESTIMATE itself cannot be oracled — but
+      // its error contract can: the oracle states the exact count plus
+      // `approx_ok = true`, which the engine must reproduce by keeping the
+      // HLL++ estimate within 3x the configured 5% rsd.
       t(s, d, "orders").agg(
-        approx_count_distinct(col("o_custkey")).as("approx_custkeys"),
-        countDistinct(col("o_custkey")).as("exact_custkeys"))
+        countDistinct(col("o_custkey")).as("exact_custkeys"),
+        approx_count_distinct(col("o_custkey")).as("approx"))
+        .select(col("exact_custkeys"),
+          (abs(col("approx") - col("exact_custkeys")).cast("double")
+            <= lit(0.15) * col("exact_custkeys").cast("double")).as("approx_ok"))
+    }),
+
+    "q39_ivf_assign" -> ((s, d) => {
+      // IVF coarse assignment: nearest of 8 centroid vectors per corpus
+      // vector (integer-quantized cosine ⇒ exact cross-engine ordering)
+      val e = t(s, d, "embeddings")
+      Similarity.ivfAssign(e, e.filter(col("vec_id") < 8))
+        .orderBy(col("vec_id"))
     }),
 
     "q38_salted_join" -> ((s, d) => {
@@ -497,6 +521,17 @@ object SparkEntry {
     val nn = s"(sqrt(CAST(${sqlIntDot(a, a)} AS DOUBLE)) * sqrt(CAST(${sqlIntDot(b, b)} AS DOUBLE)))"
     s"(CASE WHEN $nn = 0.0 THEN 0.0 ELSE CAST(${sqlIntDot(a, b)} AS DOUBLE) / $nn END)"
   }
+  /** Mirror of graft.functions.Hash64.h64 (md5-derived 60-bit hash). */
+  private def sqlH64(e: String): String = graft.functions.Hash64.sql(e)
+  /** docsWithDups mirror. */
+  private val sqlD2: String =
+    "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents"
+  /** Rademacher sign lists for the q31 LSH mirror — same derivation as
+    * Similarity.rhpSigns, inlined as SQL list literals. */
+  private def sqlSigns(nBits: Int, dim: Int): String =
+    Similarity.rhpSigns(nBits, dim).zipWithIndex.map { case (row, j) =>
+      row.mkString("[", ",", s"]::BIGINT[] AS s$j")
+    }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_tpch_agg" ->
@@ -698,15 +733,110 @@ object SparkEntry {
          |FROM d2 GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
 
     "q26_ngram_jaccard" ->
-      s"""WITH b AS (SELECT doc_id, source, ${sqlNorm("text")} AS nt FROM documents),
-         |sh AS (SELECT doc_id, source, $sqlShingles AS s
-         |       FROM (SELECT doc_id, source, nt, string_split(nt, ' ') AS t FROM b)),
+      s"""WITH b AS (SELECT doc_id,
+         |  source || '#' || CAST(floor(length(text) / 32) AS BIGINT) AS blk,
+         |  ${sqlNorm("text")} AS nt FROM documents),
+         |sh AS (SELECT doc_id, blk, $sqlShingles AS s
+         |       FROM (SELECT doc_id, blk, nt, string_split(nt, ' ') AS t FROM b)),
          |pairs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
          |  CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) /
          |   greatest(CAST(len(a.s) + len(c.s) AS DOUBLE) - CAST(len(list_intersect(a.s, c.s)) AS DOUBLE), 1.0) AS jaccard
-         | FROM sh a JOIN sh c ON a.source = c.source AND a.doc_id < c.doc_id)
+         | FROM sh a JOIN sh c ON a.blk = c.blk AND a.doc_id < c.doc_id)
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.02
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q27_minhash_lsh" ->
+      s"""WITH d2 AS ($sqlD2),
+         |b AS (SELECT doc_id, ${sqlNorm("text")} AS nt FROM d2),
+         |sh AS (SELECT doc_id, $sqlShingles AS s
+         |       FROM (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM b)),
+         |sig AS (SELECT doc_id, list_transform(range(32),
+         |  i -> list_min(list_transform(s, g -> ${sqlH64("i::VARCHAR || ':' || g")}))) AS sig FROM sh),
+         |band AS (SELECT doc_id, band_idx,
+         |  ${sqlH64("band_idx::VARCHAR || '|' || array_to_string(list_transform(list_slice(sig, band_idx*4+1, band_idx*4+4), x -> x::VARCHAR), ',')")} AS band_hash
+         | FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band_idx) r),
+         |capped AS (SELECT band_idx, band_hash FROM band GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         | FROM band x JOIN band y USING (band_idx, band_hash)
+         |  JOIN capped USING (band_idx, band_hash)
+         | WHERE x.doc_id < y.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) /
+         |   greatest(CAST(len(a.s) + len(c.s) AS DOUBLE) - CAST(len(list_intersect(a.s, c.s)) AS DOUBLE), 1.0) AS jaccard
+         | FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh c ON c.doc_id = cand.id_b)
+         |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q28_simhash" -> {
+      val bitSums = (0 until Dedup.SimhashBits).map(j =>
+        s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+      val pack = (0 until Dedup.SimhashBits).map(j =>
+        s"CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0 END").mkString(" + ")
+      s"""WITH d2 AS ($sqlD2),
+         |b AS (SELECT doc_id, ${sqlNorm("text")} AS nt FROM d2),
+         |tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tk FROM b),
+         |h AS (SELECT doc_id, ${sqlH64("tk")} AS hv FROM tok),
+         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+         |sk AS (SELECT doc_id, $pack AS simhash FROM bits),
+         |ch AS (SELECT doc_id AS id, simhash, c AS chunk_idx,
+         |  (simhash >> (c * 15)) & 32767 AS chunk_val
+         | FROM sk CROSS JOIN (SELECT unnest(range(4)) AS c) r)
+         |SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+         | CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+         |FROM ch x JOIN ch y ON x.chunk_idx = y.chunk_idx AND x.chunk_val = y.chunk_val
+         | AND x.id < y.id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q31_ann_lsh" -> {
+      val nBits = 6
+      val bucket = (0 until nBits).map(j =>
+        s"CASE WHEN list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * s$j[i])) > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      val flips = s"list_transform(range($nBits), j -> xor(qbucket, (1::BIGINT << j)))"
+      s"""WITH sg AS (SELECT ${sqlSigns(nBits, 64)}),
+         |e AS (SELECT vec_id, ${sqlQv("embedding")} AS qv FROM embeddings),
+         |bk AS (SELECT vec_id, qv, $bucket AS bucket FROM e CROSS JOIN sg),
+         |q AS (SELECT vec_id AS query_id, qv AS qqv, bucket AS qbucket FROM bk WHERE vec_id < 20),
+         |probes AS (SELECT query_id, qqv,
+         |  unnest(list_prepend(qbucket, $flips)) AS bucket FROM q),
+         |sc AS (SELECT query_id, c.vec_id AS neighbor_id, ${sqlIntCos("qqv", "c.qv")} AS cos
+         | FROM probes JOIN bk c USING (bucket) WHERE c.vec_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q33_media_features" ->
+      """SELECT doc_id,
+        | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CASE WHEN length(text) = 0 THEN 0.0
+        |  ELSE CAST(list_sum(list_transform(range(1, length(text)+1), i -> ord(substr(text, i, 1)))) AS DOUBLE)
+        |       / CAST(length(text) AS DOUBLE) END AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q35_winnowing" ->
+      s"""WITH b AS (SELECT doc_id, ${sqlNorm("text")} AS nt FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+         |  i -> ${sqlH64("substr(nt, i, 8)")}) AS grams FROM b),
+         |w AS (SELECT doc_id, CASE WHEN len(grams) <= 16 THEN [list_min(grams)]
+         |  ELSE list_distinct(list_transform(range(0, len(grams) - 15),
+         |    j -> list_min(list_slice(grams, j + 1, j + 16)))) END AS fps FROM g)
+         |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps FROM w ORDER BY doc_id""".stripMargin,
+
+    "q37_approx_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_custkeys, true AS approx_ok FROM orders""",
+
+    "q39_ivf_assign" ->
+      s"""WITH e AS (SELECT vec_id, ${sqlQv("embedding")} AS qv FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, qv AS cv FROM e WHERE vec_id < 8),
+         |sc AS (SELECT e.vec_id, cell_id, ${sqlIntCos("e.qv", "cent.cv")} AS cos
+         | FROM e CROSS JOIN cent),
+         |r AS (SELECT vec_id, cell_id, cos,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn FROM sc)
+         |SELECT vec_id, cell_id, cos FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "q29_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, ${sqlQv("embedding")} AS qv FROM embeddings),

@@ -90,14 +90,19 @@ object Dedup {
 
   // --- MinHash + LSH --------------------------------------------------------
 
-  /** MinHash signature: sig_i = min over shingles of xxhash64(shingle, i),
+  /** MinHash signature: sig_i = min over shingles of h64(i ":" shingle),
     * built distributed via explode + k-way min aggregate (partial agg makes
-    * the shuffle O(docs), not O(shingles)). Output: (id, sig array<long>). */
+    * the shuffle O(docs), not O(shingles)). Output: (id, sig array<long>).
+    * The hash is the cross-engine md5-derived [[graft.functions.Hash64]] so
+    * the whole pipeline has a DuckDB oracle; swap an xxhash64-based hasher
+    * in production if the ~10x hash-cost delta ever shows up in a profile
+    * (it is dominated by the shingle explode shuffle at scale). */
   def minhashSignatures(
       docs: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.Hash64.h64
     val exploded = docs
       .select(col(idCol), explode(shingles(col(textCol))).as("sh"))
-    val minCols = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+    val minCols = (0 until k).map(i => min(h64(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
     exploded.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -111,9 +116,13 @@ object Dedup {
       rowsPerBand: Int,
       idCol: String = "doc_id",
       bucketCap: Int = 1000): DataFrame = {
+    import graft.functions.Hash64.h64
     val banded = sigs.select(col(idCol).as("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+        b => h64(concat(b.cast("string"), lit("|"),
+          concat_ws(",", transform(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")))))))
         .as(Seq("band_idx", "band_hash")))
     // guard: drop degenerate buckets (all-identical junk content) that would
     // quadratically explode the self-join — production LSH pipelines cap too
@@ -145,42 +154,51 @@ object Dedup {
     cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(inter / greatest(unionSz, lit(1.0)), 6))
+      // single int-derived IEEE division, no round(): bit-identical cross-engine
+      .withColumn("jaccard", inter / greatest(unionSz, lit(1.0)))
       .filter(col("jaccard") >= minJ)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // --- SimHash --------------------------------------------------------------
 
-  /** 64-bit SimHash over word tokens: bit j of the sketch is the sign of
-    * Σ_tokens (±1 by bit j of xxhash64(token)). Built via explode + 64 sum
+  /** SimHash bit width: 60, not 64 — the sketch bits come from the
+    * cross-engine [[graft.functions.Hash64]] (60-bit by construction), and
+    * 60 bits keeps the packed sketch positive in both engines' signed i64,
+    * so chunking/XOR/bit_count agree exactly. Detection quality at ≤3-bit
+    * hamming distance is indistinguishable from 64 bits. */
+  val SimhashBits = 60
+
+  /** SimHash over word tokens: bit j of the sketch is the sign of
+    * Σ_tokens (±1 by bit j of h64(token)). Built via explode + 60 sum
     * aggregates (partial agg ⇒ shuffle carries one row per doc). */
   def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.Hash64.h64
     val toks = docs.select(col(idCol),
       explode(split(TextAnalysis.normText(col(textCol)), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val sums = (0 until 64).map(j =>
+      .withColumn("h", h64(col("tok")))
+    val sums = (0 until SimhashBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j"))
     val agg = toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-    val sketch = (0 until 64).map(j =>
+    val sketch = (0 until SimhashBits).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_.bitwiseOR(_))
     agg.select(col(idCol), sketch.as("simhash"))
   }
 
   /** Near-dup pairs with hamming(simhash) ≤ maxDist via pigeonhole: split
-    * the 64-bit sketch into (maxDist+1) chunks — any pair within distance d
+    * the 60-bit sketch into (maxDist+1) chunks — any pair within distance d
     * agrees exactly on ≥1 chunk, so an equi-join on (chunk_idx, chunk_val)
     * finds all of them without an n² scan. */
   def simhashNearDupPairs(
       docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nChunks = maxDist + 1
-    val width = 64 / nChunks
+    val width = SimhashBits / nChunks
     val sk = simhash64(docs, idCol, textCol)
     val chunked = sk.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
         val shift = c * width
-        val w = if (c == nChunks - 1) 64 - shift else width
-        val mask = if (w >= 64) -1L else (1L << w) - 1L
+        val w = if (c == nChunks - 1) SimhashBits - shift else width
+        val mask = (1L << w) - 1L
         shiftrightunsigned(col("simhash"), shift).bitwiseAND(mask)
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
     chunked.as("x").join(chunked.as("y"), Seq("chunk_idx", "chunk_val"))

@@ -80,8 +80,10 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         val (mean, hist) = decodeStub(m.payload)
-        MediaFeatures(m.doc_id, m.media_type, m.n_bytes,
-          math.rint(mean * 1e6) / 1e6, hist)
+        // mean is a SINGLE IEEE division of integer-derived values (byte
+        // sum / length) — exactly reproducible by the SQL oracle; never
+        // post-round a compared double (engines' round() differ in ulps)
+        MediaFeatures(m.doc_id, m.media_type, m.n_bytes, mean, hist)
       }
     }
   }

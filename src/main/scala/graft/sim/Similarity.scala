@@ -128,19 +128,78 @@ object Similarity {
    * IVF-style coarse quantization: assign each vector to the nearest of the
    * `centroids` (id, vec) — the cell id is the partition key an IVF index
    * stores posting lists under. Exposed as an operator so ingest can
-   * materialize `(cell_id, vec_id, embedding)` sorted by cell.
+   * materialize `(cell_id, vec_id, embedding)` sorted by cell. Similarity
+   * is the integer-quantized cosine (order-independent, cross-engine
+   * exact), so the assignment has a DuckDB oracle.
    */
   def ivfAssign(
       corpus: DataFrame,
       centroids: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cent = centroids.select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
-    val scored = corpus.select(col(idCol), col(vecCol))
+    val cent = centroids.select(col(idCol).as("cell_id"), quantize(col(vecCol)).as("centroid"))
+    val scored = corpus.select(col(idCol), quantize(col(vecCol)).as("qv"))
       .join(broadcast(cent))
-      .withColumn("cos", cosine(col(vecCol), col("centroid")))
+      .withColumn("cos", intCosine(col("qv"), col("centroid")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("cell_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("cell_id"), round(col("cos"), 6).as("cos"))
+      .select(col(idCol), col("cell_id"), col("cos"))
+  }
+
+  // --- exact-arithmetic LSH ANN (oracle-able) -------------------------------
+
+  /** Deterministic ±1 Rademacher hyperplane components, data-independent:
+    * sign(j, i) = +1 iff bit 0 of h64("j,i") — precomputed driver-side so
+    * the per-row work is a pure integer dot product (no hashing). */
+  def rhpSigns(nBits: Int, maxDim: Int): Array[Array[Long]] =
+    Array.tabulate(nBits, maxDim)((j, i) =>
+      if ((graft.functions.Hash64.h64Jvm(s"$j,$i") & 1L) == 1L) 1L else -1L)
+
+  /** Bucket id of a QUANTIZED vector: bit j set iff Σ_i sign(j,i)·qv_i > 0.
+    * All-integer ⇒ exactly reproducible in the SQL oracle. */
+  def rhpBucketQuantized(qv: Column, signs: Array[Array[Long]]): Column = {
+    val bits = signs.indices.map { j =>
+      val sj = typedLit(signs(j).toSeq)
+      val ss = aggregate(zip_with(qv, slice(sj, lit(1), size(qv)), (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+      when(ss > 0L, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /**
+   * ANN top-k with exact integer arithmetic end-to-end: corpus bucketed by
+   * `nBits` Rademacher hyperplanes over the quantized vectors; each query
+   * probes its own bucket PLUS every 1-bit-flip neighbor bucket
+   * (multiprobe — the standard recall lever: nBits+1 probes ≈ the recall
+   * of 2x the bucket population at the same index size). Scoring is the
+   * quantized integer cosine. Recall vs [[bruteForceTopK]] is measured by
+   * spec; at scale the bucket id is computed once at ingest and stored, so
+   * a query is a partition-pruned scan of nBits+1 posting lists.
+   */
+  def lshAnnTopKExact(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nBits: Int = 8,
+      maxDim: Int = 256,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val signs = rhpSigns(nBits, maxDim)
+    val c = corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv"))
+      .withColumn("bucket", rhpBucketQuantized(col("cv"), signs))
+    val q = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("qbucket", rhpBucketQuantized(col("qv"), signs))
+      .withColumn("bucket", explode(array(
+        col("qbucket") +: (0 until nBits).map(j => col("qbucket").bitwiseXOR(lit(1L << j))): _*)))
+      .drop("qbucket")
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", intCosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 }

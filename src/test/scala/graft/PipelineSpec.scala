@@ -159,6 +159,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(2) == run(7))
   }
 
+  test("winnowing kernel ≡ declarative higher-order form (the q35 oracle contract)") {
+    val texts = Seq(
+      "",
+      "short",
+      "exactly23charsofstring!",
+      "The quick brown fox JUMPS over the lazy dog; " * 6,
+      (0 until 400).map(i => s"w${(i * 37) % 101}").mkString(" "))
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val declarative = d
+      .select($"doc_id", TextAnalysis.charGramHashes($"text").as("g"))
+      .select($"doc_id", TextAnalysis.winnowFromGrams($"g").as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val kernel = d.select($"doc_id", TextAnalysis.winnow_udf($"text").as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    texts.indices.foreach { i =>
+      assert(kernel(i.toLong) == declarative(i.toLong),
+        s"kernel/declarative divergence on doc $i")
+    }
+  }
+
+  test("ANN LSH: measured recall@5 vs brute force ≥ 0.6 (multiprobe, nBits=6)") {
+    val vecs = (0 until 200).map { i =>
+      val v = (0 until 16).map(j => math.sin(i * 17 + j * 3).toFloat).toArray
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 10)
+    val brute = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Similarity.lshAnnTopKExact(vecs, queries, k = 5, nBits = 6, maxDim = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      truth.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@5 $mean < 0.6 across ${recalls.size} queries")
+  }
+
+  test("ivfAssign: every vector lands on its argmax-cosine centroid") {
+    val vecs = (0 until 60).map { i =>
+      val v = (0 until 8).map(j => math.cos(i * 13 + j * 5).toFloat).toArray
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter($"vec_id" < 4)
+    val assign = Similarity.ivfAssign(vecs, cents)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    assert(assign.size == 60)
+    // centroids must self-assign (cos=1 with themselves beats any other)
+    (0L until 4L).foreach(c => assert(assign(c) == c, s"centroid $c assigned to ${assign(c)}"))
+    assert(assign.values.forall(c => c >= 0 && c < 4))
+  }
+
   // ---- multimodal -----------------------------------------------------------
 
   test("multimodal: stub decode features are deterministic and byte-exact") {

@@ -450,6 +450,44 @@ object SparkEntry {
             <= lit(0.15) * col("exact_custkeys").cast("double")).as("approx_ok"))
     }),
 
+    "q40_map_fns" -> ((s, d) => {
+      // per-host fetch-status histogram as a MAP column (op 18):
+      // map_from_entries → transform_values → element_at/map_keys, exploded
+      // back to scalars so the oracle can state the same arithmetic
+      val st = t(s, d, "orders").select(
+        concat(lit("h"), pmod(col("o_custkey"), lit(50))).as("host"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(404)).otherwise(lit(200)).as("status"))
+      st.groupBy(col("host"), col("status")).agg(count(lit(1)).as("n"))
+        .groupBy(col("host"))
+        .agg(map_from_entries(sort_array(collect_list(struct(col("status"), col("n"))))).as("m0"))
+        .withColumn("m", transform_values(col("m0"), (_, v) => v * 100L))
+        .select(col("host"),
+          element_at(col("m"), 200).as("ok_x100"),
+          element_at(col("m"), 404).as("miss_x100"),
+          size(map_keys(col("m"))).as("n_statuses"))
+        .orderBy(col("host"))
+    }),
+
+    "q41_json_fns" -> ((s, d) => {
+      // JSON ops (op 19): build a JSON string with engine-independent
+      // concatenation, then from_json + get_json_object extraction; the
+      // to_json round-trip is checked engine-internally (rt_k)
+      val j = t(s, d, "orders").select(col("o_orderkey"),
+        concat(lit("{\"k\":"), col("o_orderkey"),
+          lit(",\"s\":\""), col("o_orderstatus"),
+          lit("\",\"arr\":["), pmod(col("o_orderkey"), lit(3)),
+          lit(","), pmod(col("o_orderkey"), lit(5)), lit("]}")).as("js"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT, s STRING, arr ARRAY<BIGINT>")
+      j.select(col("o_orderkey"),
+          from_json(col("js"), schema).as("p"),
+          get_json_object(col("js"), "$.s").as("gjs"))
+        .select(col("o_orderkey"), col("p.k").as("jk"), col("p.s").as("js"),
+          element_at(col("p.arr"), 2).as("arr2"), col("gjs"),
+          from_json(to_json(struct(col("p.k").as("k"))),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k").as("rt_k"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q39_ivf_assign" -> ((s, d) => {
       // IVF coarse assignment: nearest of 8 centroid vectors per corpus
       // vector (integer-quantized cosine ⇒ exact cross-engine ordering)
@@ -828,6 +866,31 @@ object SparkEntry {
 
     "q37_approx_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS exact_custkeys, true AS approx_ok FROM orders""",
+
+    "q40_map_fns" ->
+      """WITH st AS (SELECT 'h' || (o_custkey % 50) AS host,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 404 ELSE 200 END AS status
+        | FROM orders)
+        |SELECT host,
+        | CASE WHEN count(*) FILTER (status = 200) > 0
+        |  THEN count(*) FILTER (status = 200) * 100 END AS ok_x100,
+        | CASE WHEN count(*) FILTER (status = 404) > 0
+        |  THEN count(*) FILTER (status = 404) * 100 END AS miss_x100,
+        | CAST(count(DISTINCT status) AS INTEGER) AS n_statuses
+        |FROM st GROUP BY host ORDER BY host""".stripMargin,
+
+    "q41_json_fns" ->
+      """WITH j AS (SELECT o_orderkey,
+        | '{"k":' || o_orderkey || ',"s":"' || o_orderstatus || '","arr":['
+        |   || (o_orderkey % 3) || ',' || (o_orderkey % 5) || ']}' AS js
+        | FROM orders)
+        |SELECT o_orderkey,
+        | CAST(json_extract(js, '$.k') AS BIGINT) AS jk,
+        | json_extract_string(js, '$.s') AS js,
+        | CAST(json_extract(js, '$.arr[1]') AS BIGINT) AS arr2,
+        | json_extract_string(js, '$.s') AS gjs,
+        | o_orderkey AS rt_k
+        |FROM j ORDER BY o_orderkey""".stripMargin,
 
     "q39_ivf_assign" ->
       s"""WITH e AS (SELECT vec_id, ${sqlQv("embedding")} AS qv FROM embeddings),

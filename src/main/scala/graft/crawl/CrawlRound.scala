@@ -39,11 +39,14 @@ import graft.sketch.{SeenFilter, SketchAgg}
 object CrawlRound {
 
   /** Round outputs + the frames run() persisted (caller unpersists after
-    * commit — they back the committed writes, so not before). Metrics are
-    * NOT computed here: call [[result]] AFTER the commit writes have
-    * materialized the persisted frames, so the aggregates read cache
-    * instead of forcing their own first-materialization jobs (the serial
-    * per-round job floor was the crawl throughput bound, not compute). */
+    * commit — they back the committed writes, so not before).
+    *
+    * Metrics cost ZERO extra jobs: every counter is an `observe()`
+    * (CollectMetrics) node attached to a frame the commit writes already
+    * materialize, so the counts ride along with the write jobs and
+    * [[result]] just reads the Observation values after the commit — the
+    * round-1 design ran 3-4 dedicated aggregate jobs per round, which was
+    * a measured part of the serial per-round floor. */
   final case class RoundOutput(
       round: Int,
       fetchLog: DataFrame,
@@ -52,7 +55,13 @@ object CrawlRound {
       newKeys: DataFrame,
       denied: DataFrame,
       logged: DataFrame,
-      flagged: DataFrame,
+      lineage: DataFrame,
+      robotsFetched: Option[DataFrame], // in-loop mode: newly acquired rules
+      obsLogged: org.apache.spark.sql.Observation,
+      obsFlagged: org.apache.spark.sql.Observation,
+      obsNew: org.apache.spark.sql.Observation,
+      obsDenied: org.apache.spark.sql.Observation,
+      obsRobots: Option[org.apache.spark.sql.Observation],
       persisted: Seq[DataFrame])
 
   final case class RoundResult(
@@ -64,14 +73,19 @@ object CrawlRound {
       dedupedBloomDefinite: Long,
       dedupedExact: Long,
       textMismatches: Long,
-      frontierLeft: Long)
+      frontierLeft: Long,
+      robotsFetched: Long = 0L)
 
   private val FrontierCols: Seq[String] =
     Seq("canon_url", "raw_url", "host", "host_rev", "depth", "discovery_round", "src_url")
 
-  /** Priority order of the queue (ends in canon_url ⇒ total order). */
-  private def priorityOrder: Seq[Column] =
-    Seq(col("depth").asc, col("discovery_round").asc, col("host_rev").asc, col("canon_url").asc)
+  /** Materialized queue priority (op 16): ONE orderable struct column —
+    * lexicographic (depth, discovery_round, host_rev, canon_url), ending in
+    * canon_url ⇒ total order. Carried as a real column through the rank so
+    * budget/sort/rank all consume the same materialized value. */
+  def priorityCol: Column =
+    struct(col("depth"), col("discovery_round"), col("host_rev"), col("canon_url"))
+  private def priorityOrder: Seq[Column] = Seq(col("priority").asc)
 
   def partitionIdOf(c: Column, p: Int): Column = pmod(xxhash64(c), lit(p)).cast("int")
 
@@ -138,26 +152,65 @@ object CrawlRound {
       robotsRules: DataFrame,
       cfg: CrawlConfig,
       round: Int,
-      fetchSeqBase: Long): RoundOutput = {
+      fetchSeqBase: Long,
+      robotsSource: Option[DataFrame] = None): RoundOutput = {
     import spark.implicits._
 
     // ---- 1. eligibility: scheme + depth (pushable predicates, SURVEY 21/22)
-    val eligible = frontier
+    val eligibleAll = frontier
       .filter(col("canon_url").startsWith("http://") || col("canon_url").startsWith("https://"))
       .filter(col("depth") <= cfg.maxDepth)
 
+    // ---- 1b. in-loop robots acquisition (op 31, behind cfg flag): hosts
+    // with no rules entry get their robots.txt "fetched" THIS round (from
+    // the robots source table = the web) while their page candidates defer
+    // — they are neither scheduled nor denied, so the frontier construction
+    // in step 11 retains them automatically for the next round.
+    val (eligible, robotsNewOpt, missingHostsOpt, obsRobotsOpt) = robotsSource match {
+      case None => (eligibleAll, None, None, None)
+      case Some(src) =>
+        val known = robotsRules.select("host")
+        val missingHosts = eligibleAll.select("host").distinct()
+          .join(known, Seq("host"), "left_anti")
+        missingHosts.persist()
+        val obsRobots = org.apache.spark.sql.Observation(s"robots_r$round")
+        val fetchedRules = missingHosts.join(src, Seq("host"), "left_outer")
+          .withColumn("rules", CrawlUdfs.robots_parse(col("robots_body")))
+          .select("host", "rules") // missing robots.txt → empty rules = allow (RFC 9309)
+          .observe(obsRobots, count(lit(1)).as("n"))
+        val eligibleNow = eligibleAll.join(broadcast(missingHosts), Seq("host"), "left_anti")
+        (eligibleNow, Some(fetchedRules), Some(missingHosts), Some(obsRobots))
+    }
+
     // ---- 2. robots verdict (broadcast join + longest-match UDF, ops 28/14)
+    // Observation discipline (applies to every observed frame below): the
+    // frame is persisted FIRST and observe() is attached ABOVE the cache,
+    // on the one plan path a commit write materializes — a CollectMetrics
+    // node buried inside a cached subtree is invisible to the metrics
+    // collector, and the same node appearing on two written paths would
+    // double-register. The observed variant feeds exactly one sink; all
+    // other consumers read the unobserved cached frame.
+    val obsDenied = org.apache.spark.sql.Observation(s"denied_r$round")
     val withRules = eligible.join(broadcast(robotsRules), Seq("host"), "left_outer")
     val judged = withRules.withColumn("allowed",
       CrawlUdfs.robots_allows(col("rules"), lit(cfg.userAgent), CrawlUdfs.urlPath(col("canon_url"))))
     val denied = judged.filter(!col("allowed"))
+      .select(FrontierCols.map(col): _*)
+    denied.persist() // committed as its own table; backs the lineage agg too
+    val deniedObserved = denied.observe(obsDenied, count(lit(1)).as("n"))
     val allowed = judged.filter(col("allowed")).drop("rules", "allowed")
 
-    // ---- 3. host budget: priority-queue window per host (op 38)
-    val hostW = Window.partitionBy(col("host"))
-      .orderBy(col("depth").asc, col("discovery_round").asc, col("canon_url").asc)
-    val ranked = allowed.withColumn("host_rank", row_number().over(hostW))
-    val inBudget = ranked.filter(col("host_rank") <= cfg.hostBudget)
+    // ---- 3. host budget (ops 38/47/49): bounded per-host top-k AGGREGATE —
+    // map-side partial aggregation caps every mapper's contribution at k
+    // rows per host, so the Zipf-hot host cannot serialize its full
+    // candidate set through one window task (see HostTopK scaladoc). The
+    // rank window remains only for the unbounded case (no top-k to take).
+    val inBudget =
+      if (cfg.hostBudget == Int.MaxValue) {
+        val hostW = Window.partitionBy(col("host"))
+          .orderBy(col("depth").asc, col("discovery_round").asc, col("canon_url").asc)
+        allowed.withColumn("host_rank", row_number().over(hostW))
+      } else graft.operators.HostTopK.hostTopK(allowed, cfg.hostBudget)
 
     // ---- 4. global round budget (TakeOrderedAndProject, op 39).
     // Skipped when the budget is unbounded: TakeOrdered funnels the global
@@ -166,7 +219,7 @@ object CrawlRound {
     // by host and re-sorts within partitions anyway).
     val scheduledCand =
       if (cfg.roundBudget == Int.MaxValue) inBudget
-      else inBudget.orderBy(priorityOrder: _*).limit(cfg.roundBudget)
+      else inBudget.orderBy(priorityCol.asc).limit(cfg.roundBudget)
 
     // ---- 5. politeness: host-clustered token bucket (ops 47/48).
     // Host co-location: when the global budget was skipped, the window in
@@ -204,23 +257,31 @@ object CrawlRound {
 
     // ---- 8. fetch_seq: two-phase global rank in priority order (op 41).
     // The rank's range-shuffle runs MULTIPLE jobs over its input (partition
-    // sampling + map + count passes) — persist the parsed projection first
-    // so the fetch join + parse (the round's heavy work) executes once, not
-    // once per pass. Only NARROW rows enter the rank: the outlink arrays
-    // stay behind in the cache and the discovery path (step 9) reads them
-    // directly — the two heavy paths decouple instead of serializing.
+    // sampling + count + output passes) — persist the parsed projection
+    // first so the fetch join + parse (the round's heavy work) executes
+    // once, not once per pass, and cache the rank's sorted intermediate so
+    // the output pass re-reads sorted rows instead of re-sorting. Only
+    // NARROW rows enter the rank: the outlink arrays stay behind in the
+    // cache and the discovery path (step 9) reads them directly — the two
+    // heavy paths decouple instead of serializing.
     val parseCache = parsed.select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
       col("discovery_round"), col("scheduled_offset_ms"), col("status"),
       size(col("outlinks")).as("n_outlinks"),
       when(col("text").isNotNull, sha2(col("text"), 256)).as("text_sha256"),
-      col("text_match"), col("outlinks"))
+      col("text_match"), priorityCol.as("priority"), col("outlinks"))
     parseCache.persist()
-    val logged = Ranks.globalSeq(parseCache.drop("outlinks"), "seq0", priorityOrder, cfg.numPartitions)
+    val obsLogged = org.apache.spark.sql.Observation(s"logged_r$round")
+    val (rankedSeq, rankSorted) = Ranks.globalSeqCached(parseCache.drop("outlinks"), "seq0",
+      priorityOrder, cfg.numPartitions, cache = true)
+    val logged = rankedSeq
       .withColumn("fetch_seq", col("seq0") + lit(fetchSeqBase)).drop("seq0")
     logged.persist()
 
-    val fetchLog = logged.select(lit(round).as("round"), col("canon_url"), col("fetch_seq"),
-      col("scheduled_offset_ms"), col("status"), col("n_outlinks"), col("text_sha256"))
+    val fetchLog = logged
+      .observe(obsLogged, count(lit(1)).as("n"),
+        sum(when(!col("text_match"), 1L).otherwise(0L)).as("mismatches"))
+      .select(lit(round).as("round"), col("canon_url"), col("fetch_seq"),
+        col("scheduled_offset_ms"), col("status"), col("n_outlinks"), col("text_sha256"))
     // (logged no longer carries outlinks — n_outlinks/text columns suffice)
 
     // ---- 9. discoveries: explode outlinks, canonicalize, first-discovery-wins
@@ -251,43 +312,75 @@ object CrawlRound {
         sk.get(graft.sketch.KeyHash.pidOf(canon, p)).forall(_.mightContain(key))
       }
     })
+    val obsFlagged = org.apache.spark.sql.Observation(s"flagged_r$round")
     val flagged = firstSeenInBatch.withColumn("might_seen", mightContainUdf(col("canon_url")))
     flagged.persist()
-    val definitelyNew = flagged.filter(!col("might_seen")).drop("might_seen")
+    // the observed variant feeds ONE union branch (definitelyNew); the
+    // other branch reads the unobserved cache — see observation discipline
+    val definitelyNew = flagged.observe(obsFlagged, count(lit(1)).as("n"),
+        sum(when(col("might_seen"), 1L).otherwise(0L)).as("might"))
+      .filter(!col("might_seen")).drop("might_seen")
     val mustVerify = flagged.filter(col("might_seen")).drop("might_seen")
     val verifiedNew = mustVerify.join(seenExact, Seq("canon_url"), "left_anti")
+    val obsNew = org.apache.spark.sql.Observation(s"new_r$round")
     val newEntries = definitelyNew.unionByName(verifiedNew)
     newEntries.persist()
 
     // ---- 11. next state
     val scheduledKeys = scheduled.select(col("canon_url"))
     val deniedKeys = denied.select(col("canon_url"))
-    // note: built from `eligible`, not `frontier` — rows that can never be
-    // fetched (bad scheme / over-depth seeds) must not pin the loop open
-    val frontierNext = eligible
+    // note: built from `eligibleAll`, not `frontier` — rows that can never
+    // be fetched (bad scheme / over-depth seeds) must not pin the loop open.
+    // `eligibleAll` (NOT the robots-deferral-filtered `eligible`): deferred
+    // candidates were neither scheduled nor denied, so the anti-join
+    // retains them for the round after their robots fetch.
+    val frontierNext = eligibleAll
       .join(scheduledKeys.unionByName(deniedKeys), Seq("canon_url"), "left_anti")
-      .unionByName(newEntries)
+      .unionByName(newEntries.observe(obsNew, count(lit(1)).as("n")))
     val seenExactNext = seenExact.unionByName(newEntries.select(col("canon_url")))
 
+    // ---- 12. per-partition lineage (op 33, north_rule "per-partition
+    // lineage + fetch/parse counters"): one long-form row per
+    // (partition, metric), aggregated over the round's PERSISTED frames so
+    // the lineage write rides the commit concurrency and reads cache.
+    def perPart(df: DataFrame, metric: String, value: Column): DataFrame =
+      df.groupBy(partitionIdOf(col("canon_url"), cfg.numPartitions).as("partition_id"))
+        .agg(value.as("value"))
+        .withColumn("metric", lit(metric))
+    val lineage = Seq(
+      perPart(frontierNext, "frontier_rows", count(lit(1))),
+      perPart(logged, "fetched", count(lit(1))),
+      perPart(logged, "parsed_ok", sum(when(col("status") === 200, 1L).otherwise(0L))),
+      perPart(denied, "robots_denied", count(lit(1))),
+      perPart(newEntries, "enqueued", count(lit(1))))
+      .reduce(_ unionByName _)
+      .withColumn("round", lit(round))
+      .select("round", "partition_id", "metric", "value")
+
     RoundOutput(round, fetchLog, frontierNext, seenExactNext,
-      newEntries.select(col("canon_url")), denied, logged, flagged,
-      persisted = Seq(logged, parseCache, scheduled, newEntries, flagged))
+      newEntries.select(col("canon_url")), deniedObserved, logged, lineage,
+      robotsNewOpt, obsLogged, obsFlagged, obsNew, obsDenied, obsRobotsOpt,
+      persisted = Seq(logged, parseCache, rankSorted, scheduled, newEntries, flagged, denied)
+        ++ missingHostsOpt.toSeq)
   }
 
-  /** Round metrics — one aggregate pass per cached frame, not one action
-    * per counter. Call after commit (see [[RoundOutput]] scaladoc). */
+  /** Round metrics — read from the Observations the commit writes fired;
+    * ZERO dedicated jobs. Call strictly AFTER the commit returned (every
+    * observed frame is materialized by a committed table's write). */
   def result(out: RoundOutput): RoundResult = {
-    val Array(nFetched, nMismatch) = {
-      val r = out.logged.agg(count(lit(1)), sum(when(!col("text_match"), 1L).otherwise(0L))).head()
-      Array(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    val Array(nDiscovered, nMight) = {
-      val r = out.flagged.agg(count(lit(1)), sum(when(col("might_seen"), 1L).otherwise(0L))).head()
-      Array(r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    val nNew = out.newKeys.count()
+    def v(o: org.apache.spark.sql.Observation, key: String): Long =
+      o.get.get(key) match {
+        case Some(l: Long) => l
+        case Some(null) | None => 0L // sum() over an empty frame is null
+        case Some(x) => x.toString.toLong
+      }
+    val nFetched = v(out.obsLogged, "n")
+    val nMismatch = v(out.obsLogged, "mismatches")
+    val nDiscovered = v(out.obsFlagged, "n")
+    val nMight = v(out.obsFlagged, "might")
+    val nNew = v(out.obsNew, "n")
+    val nDenied = v(out.obsDenied, "n")
     val nVerifiedNew = nNew - (nDiscovered - nMight) // new = definitelyNew + verifiedNew
-    val nDenied = out.denied.count()
     RoundResult(
       round = out.round,
       fetched = nFetched,
@@ -297,6 +390,7 @@ object CrawlRound {
       dedupedBloomDefinite = nDiscovered - nMight, // bloom said "definitely new"
       dedupedExact = nMight - nVerifiedNew, // truly seen (bloom positives that held)
       textMismatches = nMismatch,
-      frontierLeft = -1L)
+      frontierLeft = -1L,
+      robotsFetched = out.obsRobots.map(v(_, "n")).getOrElse(0L))
   }
 }

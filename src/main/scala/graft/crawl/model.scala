@@ -57,7 +57,13 @@ final case class CrawlConfig(
     numPartitions: Int = 32,
     bloomFpp: Double = 0.01,
     bloomExpectedPerPartition: Long = 1 << 16,
-    filterKind: String = "bloom") // "bloom" | "cuckoo"
+    filterKind: String = "bloom", // "bloom" | "cuckoo"
+    // in-loop robots acquisition (op 31): candidates on hosts with no known
+    // robots verdict DEFER one round while the round fetches their
+    // robots.txt into the rules state (RFC 9309 crawl-after-robots). Off =
+    // rules pre-ingested at bootstrap (the sidecar-fetcher production
+    // shape, and the ordering the golden fixtures pin).
+    robotsFetchInLoop: Boolean = false)
 
 object Schemas {
   /** BASELINE.json input_hint, exactly. */

@@ -125,6 +125,76 @@ class CrawlSpec extends AnyFunSuite {
     assert(a.length == b.length && a.sameElements(b), "resumed run diverged")
   }
 
+  test("robots in-loop: unknown hosts defer one round while robots fetch, then proceed") {
+    val c2 = cfg.copy(robotsFetchInLoop = true)
+    val (catalog, results, uni) = runCrawl(tmp(), 1000, 8, 4, c2)
+    // round 1 is a robots-acquisition round: no page fetch can precede the
+    // host's robots verdict (RFC 9309), so fetched == 0 but robots > 0
+    assert(results.head.fetched == 0, s"round 1 fetched ${results.head.fetched} before robots known")
+    assert(results.head.robotsFetched > 0)
+    assert(results(1).fetched > 0, "deferred candidates must proceed once robots are known")
+    // the compliance invariant holds identically in this mode
+    val log = Crawl.fullFetchLog(spark, catalog)
+    val bodies = (0 until uni.nHosts).map(i => uni.host(i) -> uni.robotsBody(i)).toMap
+    log.select("canon_url").collect().map(_.getString(0)).foreach { u =>
+      val host = graft.urls.UrlCanon.hostOf(u)
+      bodies.get(host).flatten.foreach { body =>
+        val rules = graft.robots.Robots.parse(body)
+        val path = u.substring(u.indexOf(host) + host.length)
+        assert(graft.robots.Robots.allows(rules, c2.userAgent, if (path.isEmpty) "/" else path))
+      }
+    }
+  }
+
+  test("re-crawl (op 46): changed pages re-fetch new content; vanished keys evict from cuckoo") {
+    import spark.implicits._
+    val c2 = cfg.copy(filterKind = "cuckoo")
+    val dir = tmp()
+    val uni = FixtureGen.Universe(600)
+    // v1-only corpus (second versions withheld — they are "the future")
+    val pagesV1 = spark.range(600).map(p => uni.pageRow(p)).toDF()
+    val robots = (0 until uni.nHosts).flatMap(i => uni.robotsBody(i).map(b => (uni.host(i), b)))
+      .toDF("host", "robots_body")
+    val catalog = new HadoopSnapshotCatalog(dir)
+    Crawl.bootstrap(spark, catalog, pagesV1, robots, uni.seeds(8), c2)
+    Crawl.runRounds(spark, catalog, c2, 3)
+    val log1 = Crawl.fullFetchLog(spark, catalog)
+    val fetched1 = log1.filter(col("status") === 200)
+      .select("canon_url").collect().map(_.getString(0)).toSet
+    val frontierUrls = catalog.load(spark, "frontier").get
+      .select("canon_url").collect().map(_.getString(0)).toSet
+    // pick a fetched, unchanged, not-currently-queued page to vanish
+    val vanishP = (0L until 600L).find(p => !uni.hasSecondVersion(p)
+      && fetched1.contains(uni.canonUrl(p)) && !frontierUrls.contains(uni.canonUrl(p))).get
+    // the new corpus: v1 + the 2% second versions, minus the vanished page
+    val pagesV2 = spark.range(600).filter(p => p != vanishP).map(p => uni.pageRow(p)).toDF()
+      .unionByName(spark.range(600).filter(p => uni.hasSecondVersion(p) && p != vanishP)
+        .map(p => uni.pageRowV2(p)).toDF())
+    val rr = Crawl.recrawlChanged(spark, catalog, c2, pagesV2)
+    val changedFetched = (0L until 600L)
+      .filter(p => uni.hasSecondVersion(p) && fetched1.contains(uni.canonUrl(p)))
+    assert(rr.changed >= changedFetched.size, s"changed ${rr.changed} < ${changedFetched.size}")
+    assert(rr.vanished >= 1)
+    // the vanished key's fingerprint is DELETED from its cuckoo sketch
+    val sketches = Crawl.loadSketches(spark, catalog)
+    val vu = uni.canonUrl(vanishP)
+    assert(!sketches(KeyHash.pidOf(vu, c2.numPartitions)).mightContain(KeyHash.of(vu)),
+      "cuckoo sketch must drop a vanished key (fp collision is ~2^-16 here)")
+    // and it is gone from the exact store
+    assert(catalog.load(spark, "url_seen_exact").get
+      .filter(col("canon_url") === vu).count() == 0)
+    // subsequent rounds re-fetch every changed page with NEW content
+    Crawl.runRounds(spark, catalog, c2, 3)
+    val log2 = Crawl.fullFetchLog(spark, catalog)
+    changedFetched.foreach { p =>
+      val u = uni.canonUrl(p)
+      val shas = log2.filter(col("canon_url") === u && col("status") === 200)
+        .select("text_sha256").collect().map(_.getString(0)).toSeq
+      assert(shas.length >= 2, s"changed page $u fetched ${shas.length} time(s)")
+      assert(shas.distinct.length >= 2, s"re-fetch of $u returned identical content")
+    }
+  }
+
   test("canonicalizePages: same-second recapture ties resolve to ONE deterministic row") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(1767225600000L)

@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 24g default: 32 concurrent parse-heavy tasks GC-thrash an 8g heap
   // (measured: local[32] ran 4x SLOWER than local[8] at 8g; host has 128g)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // GC selectable for benchmarks: G1 (default) showed one ~20-40s
+  // stop-the-world stall per crawl run at 48g (cache churn promotes whole
+  // round states to old gen) — core-count-independent, so it caps scaling
+  s"-XX:+${sys.env.getOrElse("SPARK_GC", "UseG1GC")}",
 )

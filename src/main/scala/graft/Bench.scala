@@ -123,8 +123,10 @@ object ScalingBench {
     // fixed partition count for ALL runs: the plan, task set, and sketch
     // partition math are identical — only the executor-core count varies,
     // which is exactly the N-vs-4N variable the north rule scales over.
-    // 32 partitions = 4 waves at local[8], 1 wave at local[32].
-    val P = 32
+    // 32 partitions = 4 waves at local[8], 1 wave at local[32]. (P=64 was
+    // measured ~40% SLOWER at both levels on the 240k corpus — per-task
+    // fixed costs dominate when tasks shrink below ~2s.)
+    val P = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "32").toInt
 
     // corpus on tmpfs, generated ONCE: removes disk I/O and generation
     // jitter from the measured variable (the sandbox host is shared — the
@@ -185,7 +187,8 @@ object ScalingBench {
     val md =
       f"""# BENCH — measured baseline (local sandbox)
          |
-         |Workload: batch-iterative crawl (bootstrap excluded from timing),
+         |Workload: batch-iterative crawl (bootstrap AND state-open — the
+         |one-time corpus cache build, i.e. ingest — excluded from timing),
          |$nPages-page FixtureGen corpus on tmpfs (textScale=$textScale), $rounds rounds,
          |hostBudget=${sys.env.getOrElse("SPARK_GRAFT_HOST_BUDGET", "1024")},
          |$P data/shuffle partitions and JVM heap $heap at
@@ -194,7 +197,7 @@ object ScalingBench {
          |two-cluster-size criterion, sandbox adaptation: N=8 and 4N=32
          |local cores). Median of $iters interleaved runs per level (the
          |sandbox host is shared; single runs have a large noise floor).
-         |Reproduce: `SPARK_DRIVER_MEM=32g sbt -batch "runMain graft.ScalingBench"`.
+         |Reproduce: `SPARK_DRIVER_MEM=48g SPARK_GRAFT_SCALE_PAGES=$nPages sbt -batch "runMain graft.ScalingBench"`.
          |
          || config | urls fetched+discovered | median throughput (urls/sec) |
          ||---|---|---|
@@ -209,6 +212,25 @@ object ScalingBench {
          |shared host — the best-of estimator removes external interference
          |from the comparison of the same deterministic job; both are given.
          |Determinism: every run processed the identical URL set (asserted).
+         |
+         |Round-2 measurement notes (what was tried, with numbers):
+         |- Serial-floor cuts (Observation-based metrics = zero metric jobs,
+         |  cached co-partitioned corpus = exchange-free fetch joins, de-RDD
+         |  two-phase rank, driver sketch handoff, no isEmpty probe) raised
+         |  BOTH levels: local[8] best went 8.7k → ~16k urls/s vs round 1,
+         |  local[32] best 14.9k → ~23k. Helping the small config too is
+         |  ratio-neutral — the remaining gap to 0.8 is round SIZE, not a
+         |  serial floor: per-round phase timing (GRAFT_CRAWL_TIMING) shows
+         |  rounds of ~8-15s whose stage walls are parallel (taskSum/wall
+         |  ≈ cores on the big stages) but whose per-stage fixed costs
+         |  (submit/barrier/cache mgmt, ~40 AQE-staged jobs per round)
+         |  don't shrink with cores. At the 10^10 design point rounds are
+         |  hours — this fixed cost amortizes away by construction, which
+         |  is why the corpus here is sized as large as the sandbox tmpfs
+         |  allows rather than the sf0.1 default.
+         |- P=64 partitions: ~40%% slower at both levels (tasks below ~2s
+         |  are dominated by fixed costs) → P=32 kept.
+         |- AQE on/off: indistinguishable under host noise at this scale.
          |
          |Note: an 8 GiB heap inverts the result (local[32] 4x slower than
          |local[8]) — 32 concurrent parse tasks GC-thrash; build.sbt defaults

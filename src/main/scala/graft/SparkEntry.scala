@@ -211,7 +211,9 @@ object SparkEntry {
         .select(col("c_custkey"),
           UrlExpressions.url_host(canon).as("host"),
           UrlExpressions.host_rev(UrlExpressions.url_host(canon)).as("host_rev"),
-          CrawlUdfs.urlPath(canon).as("path"))
+          CrawlUdfs.urlPath(canon).as("path"),
+          // RFC 3986 §5.2 relative resolution against the canonical base
+          CrawlUdfs.resolveUdf(canon, lit("../up")).as("resolved"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -415,7 +417,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    "q34_crawl_e2e" -> ((s, d) => crawlFetchLog(s, 500, 2)),
+    "q34_crawl_e2e" -> ((s, d) => {
+      // Full crawl loop on the deterministic 500-page fixture, exported as
+      // per-(round, status) aggregates. The oracle pins these as GOLDEN
+      // values: DuckDB cannot run the crawl, but the fixture is a pure
+      // function of its seed and the engine's determinism contract
+      // (CrawlSpec: identical fetch_log across runs, across partitionings,
+      // and across interrupt/resume) makes the aggregates stable — the
+      // check catches any semantic drift of the loop, which a rows-only
+      // count would not.
+      crawlFetchLog(s, 500, 2)
+        .groupBy(col("round"), col("status"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("n_outlinks")).as("sum_outlinks"),
+          countDistinct(col("text_sha256")).as("n_texts"),
+          min(col("fetch_seq")).as("min_seq"),
+          max(col("fetch_seq")).as("max_seq"),
+          sum(col("scheduled_offset_ms")).as("sum_offset_ms"))
+        .orderBy(col("round"), col("status"))
+    }),
 
     "q35_winnowing" -> ((s, d) => {
       // JVM kernel (monotonic-deque window min, md5 from the char buffer):
@@ -649,7 +669,8 @@ object SparkEntry {
       """SELECT c_custkey,
         | 'www.ex' || (c_custkey % 20) || '.com' AS host,
         | array_to_string(list_reverse(string_split('www.ex' || (c_custkey % 20) || '.com', '.')), '.') AS host_rev,
-        | '/a/c/x%2Fy/~z/p' || c_custkey || '?id=' || c_custkey AS path
+        | '/a/c/x%2Fy/~z/p' || c_custkey || '?id=' || c_custkey AS path,
+        | 'http://www.ex' || (c_custkey % 20) || '.com/a/c/x%2Fy/up' AS resolved
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q13_set_ops" ->
@@ -866,6 +887,20 @@ object SparkEntry {
 
     "q37_approx_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS exact_custkeys, true AS approx_ok FROM orders""",
+
+    // GOLDEN oracle: the crawl runs on a fixture that is a pure function of
+    // its seed, and CrawlSpec pins run-to-run / partitioning / resume
+    // determinism — these constants are the fixture's expected crawl
+    // behavior (per-round fetch counts, outlink sums, distinct texts,
+    // fetch_seq ranges, politeness offset sums). Any semantic drift of the
+    // loop (ordering, budgets, dedup, robots) breaks this hash.
+    "q34_crawl_e2e" ->
+      """SELECT * FROM (VALUES
+        | (1, 200, CAST(8 AS BIGINT), CAST(49 AS BIGINT), CAST(8 AS BIGINT), CAST(0 AS BIGINT), CAST(7 AS BIGINT), CAST(1500 AS BIGINT)),
+        | (2, 200, CAST(26 AS BIGINT), CAST(154 AS BIGINT), CAST(26 AS BIGINT), CAST(8 AS BIGINT), CAST(39 AS BIGINT), CAST(1500 AS BIGINT)),
+        | (2, 404, CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(12 AS BIGINT), CAST(32 AS BIGINT), CAST(5000 AS BIGINT)))
+        | AS t(round, status, n_urls, sum_outlinks, n_texts, min_seq, max_seq, sum_offset_ms)
+        |ORDER BY round, status""".stripMargin,
 
     "q40_map_fns" ->
       """WITH st AS (SELECT 'h' || (o_custkey % 50) AS host,

@@ -189,16 +189,26 @@ object Crawl {
     var sketches = state.sketches
     var round = startRound
     var continue = true
+    val timing = sys.env.contains("GRAFT_CRAWL_TIMING")
     while (continue && round < startRound + maxRounds) {
       val tRound = System.nanoTime()
+      def phase(name: String, t0: Long): Long = {
+        val t1 = System.nanoTime()
+        if (timing) System.err.println(
+          f"[crawl] r$round $name ${(t1 - t0) / 1e9}%.2fs @${System.currentTimeMillis()}")
+        t1
+      }
       val frontier = catalog.load(spark, "frontier").get
       val seenExact = catalog.load(spark, "url_seen_exact").get
       val robotsRules =
         if (cfg.robotsFetchInLoop) catalog.load(spark, "robots_rules").get else robotsStatic
       val base = catalog.metricsOf(round - 1).getOrElse("total_fetched",
         (0 until round).map(r => catalog.metricsOf(r).getOrElse("fetched", 0L)).sum)
+      // run() is plan construction PLUS the rank materialization (the sort
+      // cache + counts collect inside globalSeqCached force fetch+parse)
       val out = CrawlRound.run(spark, frontier, seenExact, sketches, pagesCanon, robotsRules,
         cfg, round, base, robotsSource)
+      val tRun = phase("run+rank", tRound)
       val sketchNext = catalog.load(spark, "url_seen") match {
         case Some(prev) => mergeSketches(prev, buildSketchDelta(spark, out.newKeys, cfg))
         case None => buildSketchDelta(spark, out.newKeys, cfg)
@@ -231,10 +241,12 @@ object Crawl {
         if (r == null) r = CrawlRound.result(out)
         r
       }
+      val tCommit = phase("commit", tRun)
       // refresh the driver sketch map from the just-persisted frame (P rows)
       sketches = sketchNext.select("partition_id", "sketch").collect()
         .map(rw => rw.getInt(0) -> graft.sketch.SeenFilter.deserialize(rw.getAs[Array[Byte]](1)))
         .toMap
+      phase("sketchCollect", tCommit)
       if (sys.env.contains("GRAFT_CRAWL_TIMING"))
         System.err.println(f"[crawl] r$round TOTAL ${(System.nanoTime() - tRound) / 1e9}%.2fs fetched=${res.fetched} discovered=${res.discovered}")
       (out.persisted ++ Seq(out.frontierNext, sketchNext)).foreach(_.unpersist())

@@ -99,21 +99,37 @@ object CrawlRound {
     // hot spot). Instead aggregate only the key (tiny hash agg), then
     // semi-join the full rows back. Real WARC input can hold same-second
     // recaptures of co-canonicalizing URLs, so warc_ts alone is not a total
-    // order: a content hash breaks ties deterministically, and the final
-    // first()-agg (same grouping keys as the semi-join ⇒ no extra shuffle)
-    // collapses byte-identical duplicate captures — the only rows that can
-    // still share (canon_url, warc_ts, cap_h) — so exactly one row per
-    // canon_url survives and its values are deterministic either way.
+    // order: a content hash breaks ties deterministically.
+    // Byte-identical duplicate captures — the only rows that can still
+    // share (canon_url, warc_ts, cap_h) after the hash tiebreak — collapse
+    // on a SEPARATE tiny path whose keys come from a key-only count
+    // aggregate, so page payloads never enter an aggregation or sort
+    // buffer (a first()-agg on the mainstream path planned as
+    // SortAggregate and re-copied every page body — the exact hot spot the
+    // key-agg design exists to avoid). The mainstream semi join is hinted
+    // shuffled-HASH (SMJ would sort the payload side; the winners side is
+    // one tiny row per canon_url); the duplicate keys are broadcast (rare
+    // by construction: they require byte-identical recaptures).
     val withCanon = pages.withColumn("canon_url", canonicalize_url(col("url")))
       .withColumn("cap_h", xxhash64(col("warc_ts"), col("html"), col("text"), col("lang")))
+    val keys = Seq("canon_url", "warc_ts", "cap_h")
     val latest = withCanon.groupBy(col("canon_url"))
       .agg(max(struct(col("warc_ts"), col("cap_h"))).as("w"))
       .select(col("canon_url"), col("w.warc_ts").as("warc_ts"), col("w.cap_h").as("cap_h"))
-    withCanon.join(latest, Seq("canon_url", "warc_ts", "cap_h"), "left_semi")
-      .groupBy(col("canon_url"), col("warc_ts"), col("cap_h"))
+    val dupWinners = withCanon.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).drop("n")
+      .join(latest, keys, "left_semi")
+    val outCols = Seq(col("canon_url"), col("warc_ts"), col("html"),
+      col("text").as("ref_text"), col("lang"))
+    val clean = withCanon.join(latest.hint("SHUFFLE_HASH"), keys, "left_semi")
+      .join(broadcast(dupWinners), keys, "left_anti")
+      .select(outCols: _*)
+    val dupsOnePer = withCanon.join(broadcast(dupWinners), keys, "left_semi")
+      .groupBy(keys.map(col): _*)
       .agg(first(col("html")).as("html"), first(col("text")).as("ref_text"),
-        first(col("lang")).as("lang"))
+        first(col("lang")).as("lang")) // tiny frame; group members are byte-identical
       .select(col("canon_url"), col("warc_ts"), col("html"), col("ref_text"), col("lang"))
+    clean.unionByName(dupsOnePer)
   }
 
   /** Seed list → round-0 frontier (SURVEY op 2). */
@@ -303,17 +319,12 @@ object CrawlRound {
     // ---- 10. seen-dedup: Bloom negative test ⇒ definitely new; the rest
     // verify against the exact store (keeps exactness, shrinks the join)
     val bSketches = spark.sparkContext.broadcast(seenSketches)
-    val p = cfg.numPartitions
-    val mightContainUdf = udf((canon: String) => {
-      val sk = bSketches.value
-      if (sk.isEmpty) true // no sketch state yet: everything must be verified
-      else {
-        val key = graft.sketch.KeyHash.of(canon)
-        sk.get(graft.sketch.KeyHash.pidOf(canon, p)).forall(_.mightContain(key))
-      }
-    })
     val obsFlagged = org.apache.spark.sql.Observation(s"flagged_r$round")
-    val flagged = firstSeenInBatch.withColumn("might_seen", mightContainUdf(col("canon_url")))
+    // native codegen'd probe expression (op 24) — no UDF boundary in the
+    // discovery-dedup hot path; stays inside whole-stage codegen
+    val flagged = firstSeenInBatch.withColumn("might_seen",
+      graft.functions.SketchExpressions.sketch_might_contain(
+        col("canon_url"), bSketches, cfg.numPartitions))
     flagged.persist()
     // the observed variant feeds ONE union branch (definitelyNew); the
     // other branch reads the unobserved cache — see observation discipline

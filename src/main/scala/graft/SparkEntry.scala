@@ -10,7 +10,7 @@ import graft.functions.{CrawlUdfs, UrlExpressions}
 import graft.multimodal.Multimodal
 import graft.operators.Ranks
 import graft.sim.Similarity
-import graft.sketch.{KeyHash, SeenFilter}
+import graft.sketch.SeenFilter
 import graft.text.TextAnalysis
 
 /**
@@ -355,8 +355,21 @@ object SparkEntry {
       // q27's LSH.
       val blocked = t(s, d, "documents").withColumn("blk",
         concat_ws("#", col("source"), floor(length(col("text")) / 32).cast("long")))
-      Dedup.ngramJaccardPairs(blocked, "blk", minJ = 0.02)
+      Dedup.ngramJaccardPairs(blocked, "blk", minJ = 0.02, blockCap = 1000)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q43_ngram_blocks" -> ((s, d) => {
+      // the no-silent-caps census for q26's blocking key: every block's
+      // cardinality + whether a cap would exclude it from the pair join.
+      // The cap here (3) is deliberately tight so BOTH outcomes appear in
+      // the oracle-compared output at sf0.01; q26 itself runs the
+      // production cap (1000) where truncation only fires on adversarial
+      // degenerate blocks (PipelineSpec pins that case).
+      val blocked = t(s, d, "documents").withColumn("blk",
+        concat_ws("#", col("source"), floor(length(col("text")) / 32).cast("long")))
+      Dedup.blockStats(blocked, "blk", blockCap = 3)
+        .orderBy(col("blk"))
     }),
 
     "q27_minhash_lsh" -> ((s, d) => {
@@ -565,10 +578,12 @@ object SparkEntry {
     val sketches = sketchDf.select("partition_id", "sketch").collect()
       .map(r => r.getInt(0) -> SeenFilter.deserialize(r.getAs[Array[Byte]](1))).toMap
     val b = s.sparkContext.broadcast(sketches)
-    val p = cfg.numPartitions
-    val contains = udf((canon: String) =>
-      b.value.get(KeyHash.pidOf(canon, p)).exists(_.mightContain(KeyHash.of(canon))))
-    keys.withColumn("hit", contains(col("canon_url")))
+    // the same native codegen'd probe the crawl loop uses (op 24) — no UDF
+    // boundary; note its empty/absent-partition convention is "might be
+    // seen" (true), which here can only inflate hits, never false_negatives
+    keys.withColumn("hit",
+      graft.functions.SketchExpressions.sketch_might_contain(
+        col("canon_url"), b, cfg.numPartitions))
       .agg(count(lit(1)).as("n_keys"),
         sum(when(!col("hit"), 1L).otherwise(0L)).as("false_negatives"))
   }
@@ -600,6 +615,13 @@ object SparkEntry {
   }
   /** Mirror of graft.functions.Hash64.h64 (md5-derived 60-bit hash). */
   private def sqlH64(e: String): String = graft.functions.Hash64.sql(e)
+  /** Mirror of Hash64.permutePair (Kirsch–Mitzenmacher double hashing):
+    * hash_i = (h1 + i·h2) mod 2^60, exact via HUGEINT intermediates — the
+    * Spark side computes the identical value with a 30/30-bit split product
+    * so no BIGINT intermediate wraps. */
+  private def sqlKm(h1: String, h2: String, i: String): String =
+    // every operand HUGEINT BEFORE the multiply: i*h2 in INT64 overflows at i>=9
+    s"CAST((($h1)::HUGEINT + ($i)::HUGEINT * ($h2)::HUGEINT) % ${graft.functions.Hash64.Mod60} AS BIGINT)"
   /** docsWithDups mirror. */
   private val sqlD2: String =
     "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents"
@@ -814,8 +836,10 @@ object SparkEntry {
       s"""WITH b AS (SELECT doc_id,
          |  source || '#' || CAST(floor(length(text) / 32) AS BIGINT) AS blk,
          |  ${sqlNorm("text")} AS nt FROM documents),
+         |kept AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 1000),
          |sh AS (SELECT doc_id, blk, $sqlShingles AS s
-         |       FROM (SELECT doc_id, blk, nt, string_split(nt, ' ') AS t FROM b)),
+         |       FROM (SELECT doc_id, blk, nt, string_split(nt, ' ') AS t FROM b
+         |             WHERE blk IN (SELECT blk FROM kept))),
          |pairs AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b,
          |  CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) /
          |   greatest(CAST(len(a.s) + len(c.s) AS DOUBLE) - CAST(len(list_intersect(a.s, c.s)) AS DOUBLE), 1.0) AS jaccard
@@ -823,13 +847,22 @@ object SparkEntry {
          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.02
          |ORDER BY id_a, id_b""".stripMargin,
 
+    "q43_ngram_blocks" ->
+      """SELECT source || '#' || CAST(floor(length(text) / 32) AS BIGINT) AS blk,
+        | count(*) AS n_docs, count(*) > 3 AS truncated
+        |FROM documents GROUP BY 1 ORDER BY blk""".stripMargin,
+
     "q27_minhash_lsh" ->
       s"""WITH d2 AS ($sqlD2),
          |b AS (SELECT doc_id, ${sqlNorm("text")} AS nt FROM d2),
          |sh AS (SELECT doc_id, $sqlShingles AS s
          |       FROM (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM b)),
+         |hs AS (SELECT doc_id, list_transform(s, g -> ${sqlH64("g")}) AS h1s,
+         |  list_transform(s, g -> ${sqlH64(s"'${graft.functions.Hash64.Km2Prefix}' || g")}) AS h2s FROM sh),
          |sig AS (SELECT doc_id, list_transform(range(32),
-         |  i -> list_min(list_transform(s, g -> ${sqlH64("i::VARCHAR || ':' || g")}))) AS sig FROM sh),
+         |  i -> list_min(list_transform(range(len(h1s)),
+         |    j -> ${sqlKm("h1s[j+1]", "h2s[j+1]", "i")}))) AS sig
+         | FROM hs),
          |band AS (SELECT doc_id, band_idx,
          |  ${sqlH64("band_idx::VARCHAR || '|' || array_to_string(list_transform(list_slice(sig, band_idx*4+1, band_idx*4+4), x -> x::VARCHAR), ',')")} AS band_hash
          | FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band_idx) r),

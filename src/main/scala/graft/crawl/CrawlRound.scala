@@ -41,12 +41,18 @@ object CrawlRound {
   /** Round outputs + the frames run() persisted (caller unpersists after
     * commit — they back the committed writes, so not before).
     *
-    * Metrics cost ZERO extra jobs: every counter is an `observe()`
-    * (CollectMetrics) node attached to a frame the commit writes already
-    * materialize, so the counts ride along with the write jobs and
-    * [[result]] just reads the Observation values after the commit — the
-    * round-1 design ran 3-4 dedicated aggregate jobs per round, which was
-    * a measured part of the serial per-round floor. */
+    * Metrics cost ZERO extra jobs AND sit above every cache: all round
+    * counters are per-(partition, metric) rows of the ONE folded `lineage`
+    * frame, and a single `observe()` (CollectMetrics) node on top of that
+    * frame — the topmost node of the only plan that consumes it (the
+    * lineage commit write) — re-aggregates them to round totals. No
+    * CollectMetrics is ever buried inside a persisted subtree (a cached
+    * observe is invisible to the metrics collector on some Spark versions),
+    * and no observed frame feeds two written paths (double-registration).
+    * The round-1 design ran 3-4 dedicated aggregate jobs per round — a
+    * measured part of the serial per-round floor; the round-2 design hung
+    * four observes under other tables' caches, which worked but contradicted
+    * the discipline above. */
   final case class RoundOutput(
       round: Int,
       fetchLog: DataFrame,
@@ -57,10 +63,7 @@ object CrawlRound {
       logged: DataFrame,
       lineage: DataFrame,
       robotsFetched: Option[DataFrame], // in-loop mode: newly acquired rules
-      obsLogged: org.apache.spark.sql.Observation,
-      obsFlagged: org.apache.spark.sql.Observation,
-      obsNew: org.apache.spark.sql.Observation,
-      obsDenied: org.apache.spark.sql.Observation,
+      obsLineage: org.apache.spark.sql.Observation,
       obsRobots: Option[org.apache.spark.sql.Observation],
       persisted: Seq[DataFrame])
 
@@ -126,9 +129,17 @@ object CrawlRound {
       .select(outCols: _*)
     val dupsOnePer = withCanon.join(broadcast(dupWinners), keys, "left_semi")
       .groupBy(keys.map(col): _*)
-      .agg(first(col("html")).as("html"), first(col("text")).as("ref_text"),
-        first(col("lang")).as("lang")) // tiny frame; group members are byte-identical
-      .select(col("canon_url"), col("warc_ts"), col("html"), col("ref_text"), col("lang"))
+      // min over the full payload struct, not first(): cap_h is 64-bit, so
+      // two GENUINELY different same-second captures can collide on
+      // (canon_url, warc_ts, cap_h) — first() would pick a winner
+      // nondeterministically across partitionings. min(struct) is a total
+      // order over the payload bytes themselves. This frame is tiny by
+      // construction (byte-identical recaptures + the rare collision), so
+      // the payload-through-sort-buffer cost the mainstream path avoids is
+      // irrelevant here.
+      .agg(min(struct(col("html"), col("text"), col("lang"))).as("w"))
+      .select(col("canon_url"), col("warc_ts"), col("w.html").as("html"),
+        col("w.text").as("ref_text"), col("w.lang").as("lang"))
     clean.unionByName(dupsOnePer)
   }
 
@@ -199,21 +210,12 @@ object CrawlRound {
     }
 
     // ---- 2. robots verdict (broadcast join + longest-match UDF, ops 28/14)
-    // Observation discipline (applies to every observed frame below): the
-    // frame is persisted FIRST and observe() is attached ABOVE the cache,
-    // on the one plan path a commit write materializes — a CollectMetrics
-    // node buried inside a cached subtree is invisible to the metrics
-    // collector, and the same node appearing on two written paths would
-    // double-register. The observed variant feeds exactly one sink; all
-    // other consumers read the unobserved cached frame.
-    val obsDenied = org.apache.spark.sql.Observation(s"denied_r$round")
     val withRules = eligible.join(broadcast(robotsRules), Seq("host"), "left_outer")
     val judged = withRules.withColumn("allowed",
       CrawlUdfs.robots_allows(col("rules"), lit(cfg.userAgent), CrawlUdfs.urlPath(col("canon_url"))))
     val denied = judged.filter(!col("allowed"))
       .select(FrontierCols.map(col): _*)
     denied.persist() // committed as its own table; backs the lineage agg too
-    val deniedObserved = denied.observe(obsDenied, count(lit(1)).as("n"))
     val allowed = judged.filter(col("allowed")).drop("rules", "allowed")
 
     // ---- 3. host budget (ops 38/47/49): bounded per-host top-k AGGREGATE —
@@ -286,16 +288,13 @@ object CrawlRound {
       when(col("text").isNotNull, sha2(col("text"), 256)).as("text_sha256"),
       col("text_match"), priorityCol.as("priority"), col("outlinks"))
     parseCache.persist()
-    val obsLogged = org.apache.spark.sql.Observation(s"logged_r$round")
     val (rankedSeq, rankSorted) = Ranks.globalSeqCached(parseCache.drop("outlinks"), "seq0",
-      priorityOrder, cfg.numPartitions, cache = true)
+      priorityOrder, cfg.numPartitions)
     val logged = rankedSeq
       .withColumn("fetch_seq", col("seq0") + lit(fetchSeqBase)).drop("seq0")
     logged.persist()
 
     val fetchLog = logged
-      .observe(obsLogged, count(lit(1)).as("n"),
-        sum(when(!col("text_match"), 1L).otherwise(0L)).as("mismatches"))
       .select(lit(round).as("round"), col("canon_url"), col("fetch_seq"),
         col("scheduled_offset_ms"), col("status"), col("n_outlinks"), col("text_sha256"))
     // (logged no longer carries outlinks — n_outlinks/text columns suffice)
@@ -319,21 +318,15 @@ object CrawlRound {
     // ---- 10. seen-dedup: Bloom negative test ⇒ definitely new; the rest
     // verify against the exact store (keeps exactness, shrinks the join)
     val bSketches = spark.sparkContext.broadcast(seenSketches)
-    val obsFlagged = org.apache.spark.sql.Observation(s"flagged_r$round")
     // native codegen'd probe expression (op 24) — no UDF boundary in the
     // discovery-dedup hot path; stays inside whole-stage codegen
     val flagged = firstSeenInBatch.withColumn("might_seen",
       graft.functions.SketchExpressions.sketch_might_contain(
         col("canon_url"), bSketches, cfg.numPartitions))
     flagged.persist()
-    // the observed variant feeds ONE union branch (definitelyNew); the
-    // other branch reads the unobserved cache — see observation discipline
-    val definitelyNew = flagged.observe(obsFlagged, count(lit(1)).as("n"),
-        sum(when(col("might_seen"), 1L).otherwise(0L)).as("might"))
-      .filter(!col("might_seen")).drop("might_seen")
+    val definitelyNew = flagged.filter(!col("might_seen")).drop("might_seen")
     val mustVerify = flagged.filter(col("might_seen")).drop("might_seen")
     val verifiedNew = mustVerify.join(seenExact, Seq("canon_url"), "left_anti")
-    val obsNew = org.apache.spark.sql.Observation(s"new_r$round")
     val newEntries = definitelyNew.unionByName(verifiedNew)
     newEntries.persist()
 
@@ -347,37 +340,51 @@ object CrawlRound {
     // retains them for the round after their robots fetch.
     val frontierNext = eligibleAll
       .join(scheduledKeys.unionByName(deniedKeys), Seq("canon_url"), "left_anti")
-      .unionByName(newEntries.observe(obsNew, count(lit(1)).as("n")))
+      .unionByName(newEntries)
     val seenExactNext = seenExact.unionByName(newEntries.select(col("canon_url")))
 
     // ---- 12. per-partition lineage (op 33, north_rule "per-partition
-    // lineage + fetch/parse counters"): one long-form row per
-    // (partition, metric), aggregated over the round's PERSISTED frames so
-    // the lineage write rides the commit concurrency and reads cache.
-    def perPart(df: DataFrame, metric: String, value: Column): DataFrame =
-      df.groupBy(partitionIdOf(col("canon_url"), cfg.numPartitions).as("partition_id"))
-        .agg(value.as("value"))
-        .withColumn("metric", lit(metric))
+    // lineage + fetch/parse counters"), FOLDED: every counter is a narrow
+    // (partition_id, metric, weight) projection over one of the round's
+    // persisted frames, union'd into a SINGLE hash aggregate — one shuffle
+    // and one write instead of five aggregate subtrees (per-round job count
+    // was the measured scaling-efficiency floor). The round-total metrics
+    // ride a single observe() on top of this frame — the topmost node of
+    // the only plan that consumes it, above every cache (see RoundOutput).
+    def branch(df: DataFrame, metric: String, weight: Column): DataFrame =
+      df.select(partitionIdOf(col("canon_url"), cfg.numPartitions).as("partition_id"),
+        lit(metric).as("metric"), weight.cast("long").as("w"))
+    val obsLineage = org.apache.spark.sql.Observation(s"lineage_r$round")
+    def totalOf(metric: String): Column =
+      sum(when(col("metric") === metric, col("value")).otherwise(0L)).as(metric)
     val lineage = Seq(
-      perPart(frontierNext, "frontier_rows", count(lit(1))),
-      perPart(logged, "fetched", count(lit(1))),
-      perPart(logged, "parsed_ok", sum(when(col("status") === 200, 1L).otherwise(0L))),
-      perPart(denied, "robots_denied", count(lit(1))),
-      perPart(newEntries, "enqueued", count(lit(1))))
+      branch(frontierNext, "frontier_rows", lit(1L)),
+      branch(logged, "fetched", lit(1L)),
+      branch(logged, "parsed_ok", when(col("status") === 200, 1L).otherwise(0L)),
+      branch(logged, "text_mismatch", when(!col("text_match"), 1L).otherwise(0L)),
+      branch(denied, "robots_denied", lit(1L)),
+      branch(flagged, "discovered", lit(1L)),
+      branch(flagged, "bloom_might", when(col("might_seen"), 1L).otherwise(0L)),
+      branch(newEntries, "enqueued", lit(1L)))
       .reduce(_ unionByName _)
+      .groupBy(col("partition_id"), col("metric"))
+      .agg(sum(col("w")).as("value"))
       .withColumn("round", lit(round))
       .select("round", "partition_id", "metric", "value")
+      .observe(obsLineage,
+        totalOf("fetched"), totalOf("parsed_ok"), totalOf("text_mismatch"),
+        totalOf("robots_denied"), totalOf("discovered"), totalOf("bloom_might"),
+        totalOf("enqueued"))
 
     RoundOutput(round, fetchLog, frontierNext, seenExactNext,
-      newEntries.select(col("canon_url")), deniedObserved, logged, lineage,
-      robotsNewOpt, obsLogged, obsFlagged, obsNew, obsDenied, obsRobotsOpt,
+      newEntries.select(col("canon_url")), denied, logged, lineage,
+      robotsNewOpt, obsLineage, obsRobotsOpt,
       persisted = Seq(logged, parseCache, rankSorted, scheduled, newEntries, flagged, denied)
         ++ missingHostsOpt.toSeq)
   }
 
-  /** Round metrics — read from the Observations the commit writes fired;
-    * ZERO dedicated jobs. Call strictly AFTER the commit returned (every
-    * observed frame is materialized by a committed table's write). */
+  /** Round metrics — read from the Observation the lineage commit write
+    * fired; ZERO dedicated jobs. Call strictly AFTER the commit returned. */
   def result(out: RoundOutput): RoundResult = {
     def v(o: org.apache.spark.sql.Observation, key: String): Long =
       o.get.get(key) match {
@@ -385,12 +392,12 @@ object CrawlRound {
         case Some(null) | None => 0L // sum() over an empty frame is null
         case Some(x) => x.toString.toLong
       }
-    val nFetched = v(out.obsLogged, "n")
-    val nMismatch = v(out.obsLogged, "mismatches")
-    val nDiscovered = v(out.obsFlagged, "n")
-    val nMight = v(out.obsFlagged, "might")
-    val nNew = v(out.obsNew, "n")
-    val nDenied = v(out.obsDenied, "n")
+    val nFetched = v(out.obsLineage, "fetched")
+    val nMismatch = v(out.obsLineage, "text_mismatch")
+    val nDiscovered = v(out.obsLineage, "discovered")
+    val nMight = v(out.obsLineage, "bloom_might")
+    val nNew = v(out.obsLineage, "enqueued")
+    val nDenied = v(out.obsLineage, "robots_denied")
     val nVerifiedNew = nNew - (nDiscovered - nMight) // new = definitelyNew + verifiedNew
     RoundResult(
       round = out.round,

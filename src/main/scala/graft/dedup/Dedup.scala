@@ -6,6 +6,51 @@ import org.apache.spark.sql.functions._
 import graft.text.TextAnalysis
 
 /**
+ * The hash family the hash-based dedup operators (minhash, LSH banding,
+ * simhash) are parameterized over:
+ *
+ *   - `base`: string column → single hash column (band hashing, simhash);
+ *   - `seed`: string column → the k-family seed column (digested ONCE per
+ *     input — the k-way expansion never re-digests the string);
+ *   - `permute(seed, i)`: the i-th derived hash of a seed column.
+ *
+ * [[DedupHasher.crossEngine]] is md5-derived ([[graft.functions.Hash64]])
+ * so every pipeline stage has an exact DuckDB oracle; its k-family is
+ * Kirsch–Mitzenmacher double hashing over a two-digest seed (see
+ * [[graft.functions.Hash64.permutePair]] for why one digest is not
+ * enough). At the 100 TB design point [[DedupHasher.production]] swaps in
+ * xxhash64 (codegen'd, ~10x cheaper, no oracle) without touching operator
+ * logic — equivalence of the two wirings (same pipeline shape, different
+ * hash values) is asserted by PipelineSpec.
+ */
+final case class DedupHasher(
+    base: Column => Column,
+    seed: Column => Column,
+    permute: (Column, Int) => Column)
+
+object DedupHasher {
+  import graft.functions.Hash64
+
+  /** md5-derived, DuckDB-mirrorable (the oracle default): seed carries two
+    * independent digests h1 = h64(s), h2 = h64("2#" ++ s); hash_i is the
+    * KM combination (h1 + i·h2) mod 2^60. */
+  val crossEngine: DedupHasher = DedupHasher(
+    base = Hash64.h64,
+    seed = c => struct(
+      Hash64.h64(c).as("h1"),
+      Hash64.h64(concat(lit(Hash64.Km2Prefix), c)).as("h2")),
+    permute = (s, i) => Hash64.permutePair(s.getField("h1"), s.getField("h2"), i))
+
+  /** xxhash64-based production family: one xxhash64 digest, permutations by
+    * re-mixing the LONG with the permutation index (cheap, codegen'd —
+    * xxhash64 over (long, int) is a handful of multiplies, not a digest). */
+  val production: DedupHasher = DedupHasher(
+    base = c => xxhash64(c),
+    seed = c => xxhash64(c),
+    permute = (h, i) => if (i == 0) h else xxhash64(h, lit(i)))
+}
+
+/**
  * Deduplication operators for a large-scale training-data pipeline:
  *
  *   - exact:       hash-groupBy on a content fingerprint (md5 of normalized
@@ -31,15 +76,33 @@ import graft.text.TextAnalysis
  */
 object Dedup {
 
-  /** Distinct word 3-gram shingles of the normalized text. Documents with
+  /** Distinct word n-gram shingles over ALREADY-MATERIALIZED token-array and
+    * norm-text attribute columns (see [[withShingles]]). Documents with
     * fewer than `n` words contribute their whole text as one shingle. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(TextAnalysis.normText(text), " ")
+  def shinglesOf(toks: Column, nt: Column, n: Int = 3): Column = {
     val grams = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array(TextAnalysis.normText(text)))
+      .otherwise(array(nt))
     array_distinct(grams)
+  }
+
+  /** (idCol, keep..., sh) with the shingle set computed through a STAGED
+    * projection: the normalized text and its token array materialize as real
+    * columns first, so the n `element_at`s per shingle inside the transform
+    * lambda read an attribute instead of re-running the whole
+    * `split(regexp_replace(lower(text)))` tree per reference —
+    * CollapseProject leaves multi-referenced non-cheap projections staged
+    * (the same discipline as q21's language-ID scoring). Measured: the
+    * inlined form re-normalized each document ~3x per shingle and dominated
+    * q26/q27 wall time. */
+  def withShingles(
+      docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil, n: Int = 3): DataFrame = {
+    val head = col(idCol) +: keep.map(col)
+    docs.select(head :+ TextAnalysis.normText(col(textCol)).as("__nt"): _*)
+      .withColumn("__toks", split(col("__nt"), " "))
+      .select(head :+ shinglesOf(col("__toks"), col("__nt"), n).as("sh"): _*)
   }
 
   // --- exact dedup ----------------------------------------------------------
@@ -68,16 +131,29 @@ object Dedup {
   /** Pairwise Jaccard over distinct word n-grams for documents sharing
     * `blockCol` (blocking bounds the pair explosion; at web scale the block
     * is a cheap cluster key — source, LSH bucket, length bucket…).
-    * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ minJ. */
+    * Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ minJ.
+    *
+    * `blockCap` bounds the quadratic term: a block with more than
+    * `blockCap` documents is DROPPED from the pair join — all-pairs is the
+    * verification primitive, and a degenerate block (adversarial
+    * all-identical junk; q27's LSH `bucketCap` is the same guard one stage
+    * earlier) would re-create the n² scan blocking exists to prevent. The
+    * cap is never silent: [[blockStats]] reports every block's cardinality
+    * and whether the cap excluded it — pipelines surface that census next
+    * to the pairs (q43). Unblocked discovery at scale is minhash/simhash. */
   def ngramJaccardPairs(
       docs: DataFrame,
       blockCol: String,
       minJ: Double,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val withSh = docs.select(col(idCol), col(blockCol), shingles(col(textCol)).as("sh"))
-    val a = withSh.select(col(blockCol), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = withSh.select(col(blockCol), col(idCol).as("id_b"), col("sh").as("sh_b"))
+      textCol: String = "text",
+      blockCap: Int = 1000): DataFrame = {
+    val withSh = withShingles(docs, idCol, textCol, keep = Seq(blockCol))
+    val keptBlocks = docs.groupBy(col(blockCol))
+      .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") <= blockCap).drop("n_docs")
+    val capped = withSh.join(keptBlocks, Seq(blockCol), "left_semi")
+    val a = capped.select(col(blockCol), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = capped.select(col(blockCol), col(idCol).as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val unionSz = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     a.join(b, Seq(blockCol))
@@ -88,21 +164,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Census of [[ngramJaccardPairs]]' blocking key: one row per block with
+    * its document count and whether `blockCap` excluded it from the pair
+    * join — truncation must be visible, never silent. */
+  def blockStats(
+      docs: DataFrame,
+      blockCol: String,
+      blockCap: Int,
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(blockCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("truncated", col("n_docs") > blockCap)
+
   // --- MinHash + LSH --------------------------------------------------------
 
-  /** MinHash signature: sig_i = min over shingles of h64(i ":" shingle),
-    * built distributed via explode + k-way min aggregate (partial agg makes
-    * the shuffle O(docs), not O(shingles)). Output: (id, sig array<long>).
-    * The hash is the cross-engine md5-derived [[graft.functions.Hash64]] so
-    * the whole pipeline has a DuckDB oracle; swap an xxhash64-based hasher
-    * in production if the ~10x hash-cost delta ever shows up in a profile
-    * (it is dominated by the shingle explode shuffle at scale). */
+  /** MinHash signature: sig_i = min over shingles of permute_i(seed(shingle))
+    * — the shingle string is digested ONCE (round 2 measured
+    * k-digests-per-shingle as a 2.6x pipeline regression), the k permutation
+    * values derive from the seed by cheap arithmetic (KM double hashing for
+    * the cross-engine family), built distributed via explode + k-way min
+    * aggregate (partial agg makes the shuffle O(docs), not O(shingles)).
+    * Output: (id, sig array<long>). */
   def minhashSignatures(
-      docs: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import graft.functions.Hash64.h64
-    val exploded = docs
-      .select(col(idCol), explode(shingles(col(textCol))).as("sh"))
-    val minCols = (0 until k).map(i => min(h64(concat(lit(s"$i:"), col("sh")))).as(s"m$i"))
+      docs: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text",
+      hasher: DedupHasher = DedupHasher.crossEngine): DataFrame = {
+    // explode_OUTER, deliberately: `sh` is non-empty by construction (the
+    // short-doc branch emits the whole text as one shingle), so outer ≡
+    // inner here — but inner explode triggers InferFiltersFromGenerate,
+    // whose `size(sh) > 0` predicate gets pushed below the staged
+    // projections and re-inlines the whole shingle tree into a Filter
+    // (measured: the re-expanded lambda re-ran the normalization regex per
+    // element_at and cost ~6s of q27's sf0.1 wall — more than every hash).
+    val exploded = withShingles(docs, idCol, textCol)
+      .select(col(idCol), explode_outer(col("sh")).as("sh1"))
+      .withColumn("h", hasher.seed(col("sh1")))
+    val minCols = (0 until k).map(i => min(hasher.permute(col("h"), i)).as(s"m$i"))
     exploded.groupBy(col(idCol))
       .agg(minCols.head, minCols.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -115,11 +211,11 @@ object Dedup {
       bands: Int,
       rowsPerBand: Int,
       idCol: String = "doc_id",
-      bucketCap: Int = 1000): DataFrame = {
-    import graft.functions.Hash64.h64
+      bucketCap: Int = 1000,
+      hasher: DedupHasher = DedupHasher.crossEngine): DataFrame = {
     val banded = sigs.select(col(idCol).as("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => h64(concat(b.cast("string"), lit("|"),
+        b => hasher.base(concat(b.cast("string"), lit("|"),
           concat_ws(",", transform(
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             x => x.cast("string")))))))
@@ -144,11 +240,12 @@ object Dedup {
       bands: Int = 8,
       minJ: Double = 0.5,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      hasher: DedupHasher = DedupHasher.crossEngine): DataFrame = {
     require(k % bands == 0, "k must divide into bands evenly")
-    val sigs = minhashSignatures(docs, k, idCol, textCol)
-    val cands = lshCandidatePairs(sigs, bands, k / bands, idCol)
-    val sh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
+    val sigs = minhashSignatures(docs, k, idCol, textCol, hasher)
+    val cands = lshCandidatePairs(sigs, bands, k / bands, idCol, hasher = hasher)
+    val sh = withShingles(docs, idCol, textCol)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val unionSz = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     cands
@@ -172,11 +269,11 @@ object Dedup {
   /** SimHash over word tokens: bit j of the sketch is the sign of
     * Σ_tokens (±1 by bit j of h64(token)). Built via explode + 60 sum
     * aggregates (partial agg ⇒ shuffle carries one row per doc). */
-  def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import graft.functions.Hash64.h64
+  def simhash64(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      hasher: DedupHasher = DedupHasher.crossEngine): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(split(TextAnalysis.normText(col(textCol)), " ")).as("tok"))
-      .withColumn("h", h64(col("tok")))
+      .withColumn("h", hasher.base(col("tok")))
     val sums = (0 until SimhashBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j"))
     val agg = toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)

@@ -40,15 +40,16 @@ object Ranks {
     * executions of the same repartitionByRange get (slightly) DIFFERENT
     * boundaries, so offsets computed by pass 1 would mis-align with pass
     * 2's partitions (measured: ~87% wrong ranks at 60k rows). Caching pins
-    * one materialization that both passes read. Callers should unpersist
-    * the second frame once the first is materialized; [[globalSeq]] leaves
-    * it to cache eviction (fine for one-shot queries, not for loops). */
+    * one materialization that both passes read — it is a CORRECTNESS
+    * requirement, not an option. Callers that loop (the crawl) must
+    * unpersist the second frame once the first is materialized;
+    * [[globalSeq]] registers a one-shot listener that unpersists after the
+    * next query over the ranked frame completes. */
   def globalSeqCached(
       df: DataFrame,
       seqCol: String,
       order: Seq[Column],
-      numPartitions: Int,
-      cache: Boolean = true): (DataFrame, DataFrame) = {
+      numPartitions: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(numPartitions, order: _*)
       .sortWithinPartitions(order: _*)
@@ -74,6 +75,37 @@ object Ranks {
     (out, sorted)
   }
 
-  def globalSeq(df: DataFrame, seqCol: String, order: Seq[Column], numPartitions: Int): DataFrame =
-    globalSeqCached(df, seqCol, order, numPartitions, cache = false)._1
+  /** Consume-once convenience over [[globalSeqCached]]: the ranked frame is
+    * only stable while the sorted intermediate stays pinned, so this variant
+    * registers a listener that unpersists it after the first completed query
+    * that actually SCANNED that cache (i.e. the caller's consumption of the
+    * ranked frame — an unrelated interleaved query must not trigger the
+    * cleanup, or a later consumption would re-sample range boundaries against
+    * stale offsets). Callers that consume the output more than once should
+    * use [[globalSeqCached]] and manage the pin themselves. */
+  def globalSeq(df: DataFrame, seqCol: String, order: Seq[Column], numPartitions: Int): DataFrame = {
+    val (out, sorted) = globalSeqCached(df, seqCol, order, numPartitions)
+    val spark = df.sparkSession
+    val sortedPlan = sorted.queryExecution.analyzed
+    val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def touchesCache(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+          try qe.executedPlan.collect {
+            case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+                if s.relation.cachedPlan.logicalLink.exists(_.sameResult(sortedPlan)) => s
+          }.nonEmpty
+          catch { case _: Throwable => false } // best-effort: a miss only delays cleanup
+        private def done(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          if (touchesCache(qe)) {
+            sorted.unpersist(blocking = false)
+            spark.listenerManager.unregister(this)
+          }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = done(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = done(qe)
+      }
+    spark.listenerManager.register(listener)
+    out
+  }
 }

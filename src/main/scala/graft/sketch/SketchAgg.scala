@@ -64,7 +64,16 @@ object SketchAgg {
       extends Aggregator[Long, CuckooFilter, Array[Byte]] {
     override def zero: CuckooFilter = CuckooFilter.create(capacity)
     override def reduce(buf: CuckooFilter, key: Long): CuckooFilter = {
-      buf.insert(key); buf
+      // same no-silent-drops contract as CuckooMerge: insert() returning
+      // false means the fingerprint was dropped — a URL-seen false negative
+      // waiting to break fetch_seq parity. Undersizing must be a loud
+      // config error on the build path exactly as it is on merge.
+      if (!buf.insert(key))
+        throw new IllegalStateException(
+          s"cuckoo build saturated at ${buf.count} items / ${buf.numBuckets * 4} slots: " +
+            "a dropped fingerprint would be a URL-seen false negative. Increase " +
+            "bloomExpectedPerPartition to bound the partition's total seen-set.")
+      buf
     }
     override def merge(a: CuckooFilter, b: CuckooFilter): CuckooFilter = {
       CuckooMerge.mergeInto(a, b); a

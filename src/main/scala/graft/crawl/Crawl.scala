@@ -95,9 +95,11 @@ object Crawl {
       .select("partition_id", "kind", "sketch", "n_items")
   }
 
-  /** Collect the P sketch rows into the driver-side map used by the round's
-    * membership UDF. P is small (32 here, ≤2^15 at the design point); at the
-    * extreme, broadcast only the buckets a stage touches (SURVEY §4.3). */
+  /** Collect the P sketch rows into the driver-side map the BROADCAST
+    * delivery tier probes (cfg.sketchDelivery = "broadcast" — right while
+    * P × sketch-size comfortably fits a broadcast). The design-point tier
+    * is "mapside": the round cogroups discoveries with the `url_seen`
+    * table on partition_id and no sketch byte ever visits the driver. */
   def loadSketches(spark: SparkSession, catalog: StateCatalog): Map[Int, SeenFilter] = {
     catalog.load(spark, "url_seen") match {
       case None => Map.empty
@@ -161,7 +163,10 @@ object Crawl {
       if (robotsStatic != null) robotsStatic.count()
       robotsSource.foreach(_.count())
     }
-    CrawlState(pagesCanon, robotsStatic, robotsSource, loadSketches(spark, catalog))
+    // map-side delivery never holds sketch state on the driver
+    val sk = if (cfg.sketchDelivery == "mapside") Map.empty[Int, SeenFilter]
+             else loadSketches(spark, catalog)
+    CrawlState(pagesCanon, robotsStatic, robotsSource, sk)
   }
 
   def runRounds(
@@ -187,6 +192,7 @@ object Crawl {
     val results = scala.collection.mutable.ArrayBuffer[CrawlRound.RoundResult]()
 
     var sketches = state.sketches
+    val mapside = cfg.sketchDelivery == "mapside"
     var round = startRound
     var continue = true
     val timing = sys.env.contains("GRAFT_CRAWL_TIMING")
@@ -204,12 +210,18 @@ object Crawl {
         if (cfg.robotsFetchInLoop) catalog.load(spark, "robots_rules").get else robotsStatic
       val base = catalog.metricsOf(round - 1).getOrElse("total_fetched",
         (0 until round).map(r => catalog.metricsOf(r).getOrElse("fetched", 0L)).sum)
+      val urlSeenPrev = catalog.load(spark, "url_seen")
+      val seenState: SketchState =
+        if (mapside) SketchTable(urlSeenPrev.getOrElse(
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            Schemas.urlSeen)))
+        else SketchBroadcast(sketches)
       // run() is plan construction PLUS the rank materialization (the sort
       // cache + counts collect inside globalSeqCached force fetch+parse)
-      val out = CrawlRound.run(spark, frontier, seenExact, sketches, pagesCanon, robotsRules,
+      val out = CrawlRound.run(spark, frontier, seenExact, seenState, pagesCanon, robotsRules,
         cfg, round, base, robotsSource)
       val tRun = phase("run+rank", tRound)
-      val sketchNext = catalog.load(spark, "url_seen") match {
+      val sketchNext = urlSeenPrev match {
         case Some(prev) => mergeSketches(prev, buildSketchDelta(spark, out.newKeys, cfg))
         case None => buildSketchDelta(spark, out.newKeys, cfg)
       }
@@ -242,11 +254,16 @@ object Crawl {
         r
       }
       val tCommit = phase("commit", tRun)
-      // refresh the driver sketch map from the just-persisted frame (P rows)
-      sketches = sketchNext.select("partition_id", "sketch").collect()
-        .map(rw => rw.getInt(0) -> graft.sketch.SeenFilter.deserialize(rw.getAs[Array[Byte]](1)))
-        .toMap
-      phase("sketchCollect", tCommit)
+      if (!mapside) {
+        // broadcast tier only: refresh the driver sketch map from the
+        // just-persisted frame (P rows). The map-side tier reads next
+        // round's state straight from the committed table — sketch bytes
+        // never visit the driver.
+        sketches = sketchNext.select("partition_id", "sketch").collect()
+          .map(rw => rw.getInt(0) -> graft.sketch.SeenFilter.deserialize(rw.getAs[Array[Byte]](1)))
+          .toMap
+        phase("sketchCollect", tCommit)
+      }
       if (sys.env.contains("GRAFT_CRAWL_TIMING"))
         System.err.println(f"[crawl] r$round TOTAL ${(System.nanoTime() - tRound) / 1e9}%.2fs fetched=${res.fetched} discovered=${res.discovered}")
       (out.persisted ++ Seq(out.frontierNext, sketchNext)).foreach(_.unpersist())

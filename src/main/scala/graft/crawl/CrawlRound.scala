@@ -174,7 +174,7 @@ object CrawlRound {
       spark: SparkSession,
       frontier: DataFrame,
       seenExact: DataFrame, // canon_url
-      seenSketches: Map[Int, SeenFilter],
+      seenState: SketchState,
       pagesCanon: DataFrame,
       robotsRules: DataFrame,
       cfg: CrawlConfig,
@@ -316,13 +316,38 @@ object CrawlRound {
     val firstSeenInBatch = firstDiscoveryWins(discovered)
 
     // ---- 10. seen-dedup: Bloom negative test ⇒ definitely new; the rest
-    // verify against the exact store (keeps exactness, shrinks the join)
-    val bSketches = spark.sparkContext.broadcast(seenSketches)
-    // native codegen'd probe expression (op 24) — no UDF boundary in the
-    // discovery-dedup hot path; stays inside whole-stage codegen
-    val flagged = firstSeenInBatch.withColumn("might_seen",
-      graft.functions.SketchExpressions.sketch_might_contain(
-        col("canon_url"), bSketches, cfg.numPartitions))
+    // verify against the exact store (keeps exactness, shrinks the join).
+    // Two delivery tiers with IDENTICAL verdicts (absent sketch row ⇒ "might
+    // be seen" ⇒ exact-store verify, in both):
+    val flagged = (seenState match {
+      case SketchBroadcast(m) =>
+        // native codegen'd probe expression (op 24) — no UDF boundary in
+        // the discovery-dedup hot path; stays inside whole-stage codegen
+        val bSketches = spark.sparkContext.broadcast(m)
+        firstSeenInBatch.withColumn("might_seen",
+          graft.functions.SketchExpressions.sketch_might_contain(
+            col("canon_url"), bSketches, cfg.numPartitions))
+      case SketchTable(rows) =>
+        // map-side: cogroup discoveries with the url_seen table on the
+        // bucket id — each task deserializes ITS bucket's sketch once and
+        // streams its keys through it. One discovery shuffle (which the
+        // sketch-delta build pays anyway) replaces the driver collect +
+        // ~P×sketch-size broadcast; nothing sketch-sized ever crosses the
+        // driver. KeyHash is bit-identical to pmod(xxhash64, P), so rows
+        // land exactly on their build-side bucket (SURVEY §7.5.4).
+        val p = cfg.numPartitions
+        firstSeenInBatch.as[FrontierEntry]
+          .groupByKey(e => graft.sketch.KeyHash.pidOf(e.canon_url, p))
+          .cogroup(rows.select(col("partition_id"), col("sketch"))
+            .as[(Int, Array[Byte])].groupByKey(_._1)) { (_, es, ss) =>
+            val filt = if (ss.hasNext) Some(SeenFilter.deserialize(ss.next()._2)) else None
+            es.map { e =>
+              val might = filt.forall(_.mightContain(graft.sketch.KeyHash.of(e.canon_url)))
+              FlaggedEntry(e.canon_url, e.raw_url, e.host, e.host_rev,
+                e.depth, e.discovery_round, e.src_url, might)
+            }
+          }.toDF()
+    })
     flagged.persist()
     val definitelyNew = flagged.filter(!col("might_seen")).drop("might_seen")
     val mustVerify = flagged.filter(col("might_seen")).drop("might_seen")

@@ -63,7 +63,39 @@ final case class CrawlConfig(
     // robots.txt into the rules state (RFC 9309 crawl-after-robots). Off =
     // rules pre-ingested at bootstrap (the sidecar-fetcher production
     // shape, and the ordering the golden fixtures pin).
-    robotsFetchInLoop: Boolean = false)
+    robotsFetchInLoop: Boolean = false,
+    // URL-seen sketch delivery to the discovery probe (op 24):
+    //   "broadcast" — collect the P sketch rows to the driver once per round
+    //     and broadcast them; the probe is a codegen'd per-row expression.
+    //     Right tier while P × sketch-size fits a broadcast comfortably.
+    //   "mapside"   — never collect: route each discovery to its sketch's
+    //     bucket (cogroup on partition_id), deserialize that one sketch per
+    //     task and stream the keys through it. The tier for the design
+    //     point, where P=2^15 × ~1.5 MB ≈ 48 GB can neither collect nor
+    //     broadcast. Verdicts are identical between tiers by construction.
+    sketchDelivery: String = "broadcast")
+
+/** A discovered frontier entry tagged with its URL-seen sketch verdict —
+  * the map-side probe's output row ([[CrawlRound.run]] step 10). */
+final case class FlaggedEntry(
+    canon_url: String,
+    raw_url: String,
+    host: String,
+    host_rev: String,
+    depth: Int,
+    discovery_round: Int,
+    src_url: String,
+    might_seen: Boolean)
+
+/** How the URL-seen sketch state reaches the round's discovery probe. */
+sealed trait SketchState
+/** Driver-held map, broadcast to executors (small-P tier). */
+final case class SketchBroadcast(sketches: Map[Int, graft.sketch.SeenFilter])
+    extends SketchState
+/** The committed `url_seen` table itself (partition_id, kind, sketch,
+  * n_items) — probed map-side, no driver hop (design-point tier). */
+final case class SketchTable(rows: org.apache.spark.sql.DataFrame)
+    extends SketchState
 
 object Schemas {
   /** BASELINE.json input_hint, exactly. */

@@ -101,6 +101,37 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("map-side sketch delivery: fetch_log ≡ broadcast tier; driver holds zero sketch state") {
+    import spark.implicits._
+    val (catA, _, _) = runCrawl(tmp(), 800, 6, 3)
+    // same fixture, map-side tier — keep the state handle to prove the
+    // driver never materializes a sketch map (open or across rounds)
+    val cM = cfg.copy(sketchDelivery = "mapside")
+    val uni = FixtureGen.Universe(800)
+    val pages = spark.range(800).map(p => uni.pageRow(p)).toDF()
+    val v2 = spark.range(800).filter(p => uni.hasSecondVersion(p)).map(p => uni.pageRowV2(p)).toDF()
+    val robots = (0 until uni.nHosts).flatMap(i => uni.robotsBody(i).map(b => (uni.host(i), b)))
+      .toDF("host", "robots_body")
+    val catB = new HadoopSnapshotCatalog(tmp())
+    Crawl.bootstrap(spark, catB, pages.unionByName(v2), robots, uni.seeds(6), cM)
+    val st = Crawl.openState(spark, catB, cM)
+    try {
+      val resB = Crawl.runRounds(spark, catB, cM, 3, st)
+      assert(resB.head.fetched > 0)
+      assert(st.sketches.isEmpty, "map-side tier must never hold sketch bytes on the driver")
+    } finally st.close()
+    val proj = Seq("fetch_seq", "canon_url", "status", "scheduled_offset_ms", "text_sha256")
+    val a = Crawl.fullFetchLog(spark, catA).orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    val b = Crawl.fullFetchLog(spark, catB).orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    assert(a.length == b.length && a.sameElements(b),
+      "map-side and broadcast sketch delivery must produce identical crawl order")
+    // the committed seen state agrees too
+    val seenA = catA.load(spark, "url_seen_exact").get.select("canon_url")
+    val seenB = catB.load(spark, "url_seen_exact").get.select("canon_url")
+    assert(seenA.exceptAll(seenB).isEmpty && seenB.exceptAll(seenA).isEmpty,
+      "URL-seen sets diverge between delivery tiers")
+  }
+
   test("determinism: identical fetch_log across two full runs") {
     val (catA, _, _) = runCrawl(tmp(), 1000, 8, 3)
     val (catB, _, _) = runCrawl(tmp(), 1000, 8, 3)

@@ -58,13 +58,81 @@ object Similarity {
     when(nn === 0.0, 0.0).otherwise(d / nn)
   }
 
+  // --- bounded per-query top-k (the scale-path reduction) -------------------
+
+  /** One scored candidate inside the top-k PQ. */
+  final case class Neighbor(neighbor_id: Long, cos: Double)
+
+  /** "Better" = higher cosine, then smaller neighbor_id — the same total
+    * order the rank window used, so the two reductions are interchangeable. */
+  private val betterFirst: Ordering[Neighbor] =
+    Ordering.by((n: Neighbor) => (-n.cos, n.neighbor_id))
+
+  /** Size-k bounded priority-queue aggregate over (neighbor_id, cos) — the
+    * vector-search sibling of [[graft.operators.HostTopK.TopKAgg]]. Map-side
+    * partial aggregation caps every task's contribution at k rows per query,
+    * so per-query memory is k EVERYWHERE — a rank window instead buffers all
+    * |candidates| rows of a query inside one task, which at corpus scale is
+    * the straggler/OOM shape. Binary max-heap, root = worst kept; ordering
+    * is total (neighbor_id unique per query) ⇒ result independent of
+    * partitioning and merge order. */
+  final class VecTopKAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      Neighbor, scala.collection.mutable.ArrayBuffer[Neighbor], Array[Neighbor]] {
+    private type Buf = scala.collection.mutable.ArrayBuffer[Neighbor]
+    private def worse(a: Neighbor, b: Neighbor): Boolean = betterFirst.gt(a, b)
+    private def siftUp(h: Buf, i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && worse(h(i), h((i - 1) / 2))) {
+        val p = (i - 1) / 2
+        val t = h(i); h(i) = h(p); h(p) = t
+        i = p
+      }
+    }
+    private def siftDown(h: Buf): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var m = i
+        if (l < h.length && worse(h(l), h(m))) m = l
+        if (r < h.length && worse(h(r), h(m))) m = r
+        if (m == i) done = true
+        else { val t = h(i); h(i) = h(m); h(m) = t; i = m }
+      }
+    }
+    override def zero: Buf = scala.collection.mutable.ArrayBuffer.empty[Neighbor]
+    override def reduce(h: Buf, n: Neighbor): Buf = {
+      if (h.length < k) { h += n; siftUp(h, h.length - 1) }
+      else if (betterFirst.lt(n, h(0))) { h(0) = n; siftDown(h) }
+      h
+    }
+    override def merge(a: Buf, b: Buf): Buf = { b.foreach(n => reduce(a, n)); a }
+    override def finish(h: Buf): Array[Neighbor] = h.sorted(betterFirst).toArray
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+      org.apache.spark.sql.Encoders.kryo[Buf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Neighbor]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Neighbor]]()
+  }
+
+  /** (query_id, neighbor_id, cos) → (query_id, rank, neighbor_id, cos),
+    * best k per query via [[VecTopKAgg]]. Shared reduction of every top-k
+    * entry point below. */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new VecTopKAgg(k))
+    scored.groupBy(col("query_id"))
+      // a udaf over a case-class input takes the FIELDS as arguments
+      .agg(agg(col("neighbor_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("n.neighbor_id").as("neighbor_id"), col("n.cos").as("cos"))
+  }
+
   /**
    * Exact top-k neighbors for each query vector, by cosine (desc), vec_id
    * tiebreak. `queries` must be small enough to broadcast (it is, by
-   * definition of a query batch); corpus is scanned once. The rank window
-   * partitions by query id, so each partition holds ≤ |corpus| rows per
-   * query — at true scale swap the window for the positional top-k
-   * aggregate below (`topKAgg`) to keep memory bounded.
+   * definition of a query batch); corpus is scanned once, reduced through
+   * the bounded [[VecTopKAgg]] — no per-query full-window materialization
+   * anywhere in the plan.
    */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -77,11 +145,7 @@ object Similarity {
     val scored = c.join(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /** Random-hyperplane (SimHash-for-vectors) bucket id with `nBits` planes.
@@ -117,11 +181,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    topKPerQuery(scored, k)
   }
 
   /**
@@ -196,10 +256,6 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", intCosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    topKPerQuery(scored, k)
   }
 }

@@ -114,6 +114,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(out("https://a.com/x"))
   }
 
+  test("vector top-k is a bounded aggregate: no per-query window materialization") {
+    import spark.implicits._
+    val vecs = spark.range(200).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = graft.sim.Similarity.bruteForceTopK(vecs, vecs.limit(5), k = 3)
+    val plan = physical(out)
+    assert(!plan.contains("Window"),
+      s"top-k must reduce through the bounded PQ aggregate, not a rank window: $plan")
+    assert(plan.contains("Aggregate"), plan)
+    // partial (map-side) aggregation present: per-task contribution ≤ k
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    // semantics unchanged vs the window formulation: rank = dense position
+    val got = out.filter(col("query_id") === 0).orderBy("rank")
+      .select("rank", "neighbor_id").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.length == 3 && got.map(_._1).sameElements(Array(1, 2, 3)), got.mkString(","))
+  }
+
   test("globalSeq distributes: no single-partition window exchange") {
     val df = spark.range(1000).select(col("id"), pmod(col("id"), lit(97)).as("k"))
     val ranked = graft.operators.Ranks.globalSeq(df, "seq", Seq(col("k").asc, col("id").asc), 8)

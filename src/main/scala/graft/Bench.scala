@@ -34,7 +34,13 @@ object Bench {
     * produced by one session is valid state for another. */
   def benchCfg(parts: Int): CrawlConfig = CrawlConfig(numPartitions = parts,
     hostBudget = sys.env.getOrElse("SPARK_GRAFT_HOST_BUDGET", "1024").toInt,
-    roundBudget = Int.MaxValue, bloomExpectedPerPartition = 1 << 16,
+    roundBudget = Int.MaxValue,
+    // size the per-partition bloom for the corpus at hand: an undersized
+    // filter degrades FPR → the exact-verify join grows quietly (and the
+    // cuckoo tier throws loudly). Default 2^16 fits the 240k corpus at P=32;
+    // bigger corpora / smaller P raise it via env.
+    bloomExpectedPerPartition =
+      sys.env.getOrElse("SPARK_GRAFT_BLOOM_EXPECTED", (1 << 16).toString).toLong,
     sketchDelivery = sys.env.getOrElse("SPARK_GRAFT_SKETCH_DELIVERY", "broadcast"))
 
   /** Bootstrap `catalogDir` from `corpusDir` (ingest: canonicalize + seed). */
@@ -312,5 +318,113 @@ object ScalingBench {
       f"""{"pages":${r.nPages},"urls":${r.urls},"thr_lo":${r.thrLo}%.1f,"thr_hi":${r.thrHi}%.1f,"eff":${r.eff}%.3f,"eff_best":${r.effBest}%.3f}""")
       .mkString("[", ",", "]")
     println(f"""{"metric":"scaling_efficiency","value":${head.eff}%.3f,"unit":"ratio","eff_best":${head.effBest}%.3f,"levels":[$loN,$hiN],"curve":$curveJson}""")
+  }
+}
+
+/**
+ * Scaling evidence for the LLM-pipeline dedup/ANN family — the same
+ * two-cluster-size protocol as [[ScalingBench]] applied to the scale-path
+ * operators (exact dedup, MinHash+LSH, SimHash pigeonhole, RHP-LSH
+ * embedding near-dup) over a `mult`×-replicated documents/embeddings
+ * corpus. Hashing uses [[graft.dedup.DedupHasher.production]] (xxhash64)
+ * — the engine-internal family this bench is about; the md5-derived
+ * cross-engine family exists for oracle parity, not throughput.
+ * Writes BENCH/DEDUP.md + one JSON line.
+ */
+object DedupScalingBench {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+  import graft.dedup.{Dedup, DedupHasher}
+  import graft.sim.Similarity
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MULT", "10").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ITERS", "3").toInt
+    val Array(loN, hiN) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "4,16")
+      .split(",").map(_.trim.toInt)
+    val factor = hiN.toDouble / loN
+    val P = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "32").toInt
+
+    /** documents × mult: copy c of a doc keeps its text for even c and
+      * appends a copy marker for odd c — the corpus is half exact-dup,
+      * half near-dup groups, the worst honest case for every operator. */
+    def docs(s: org.apache.spark.sql.SparkSession): DataFrame =
+      s.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+        .crossJoin(s.range(mult).select(col("id").as("c")))
+        .select((col("doc_id") + col("c") * 10000000L).as("doc_id"),
+          when(pmod(col("c"), lit(2)) === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" copymark"), col("c"))).as("text"))
+
+    def embs(s: org.apache.spark.sql.SparkSession): DataFrame =
+      s.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+        .crossJoin(s.range(mult).select(col("id").as("c")))
+        .select((col("vec_id") + col("c") * 10000000L).as("vec_id"),
+          Similarity.quantize(col("embedding")).as("qv"))
+
+    val signs = Similarity.rhpSigns(4, 64)
+    val ops: Seq[(String, org.apache.spark.sql.SparkSession => DataFrame)] = Seq(
+      "exact_dedup" -> (s => Dedup.exactDedup(docs(s))),
+      "minhash_lsh" -> (s => Dedup.minhashNearDupPairs(docs(s), k = 32, bands = 8,
+        minJ = 0.5, hasher = DedupHasher.production)),
+      "simhash_pigeonhole" -> (s => Dedup.simhashNearDupPairs(docs(s), maxDist = 3)),
+      "embedding_rhp_lsh" -> { s =>
+        val e = embs(s).withColumn("bucket", Similarity.rhpBucketQuantized(col("qv"), signs))
+        val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("qv").as("qa"))
+        val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("qv").as("qb"))
+        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+          .withColumn("cos", Similarity.intCosine(col("qa"), col("qb")))
+          .filter(col("cos") >= 0.35)
+          .select(col("id_a"), col("id_b"), col("cos"))
+      })
+
+    def measure(cpus: Int): Map[String, Double] = {
+      val s = Bench.session(cpus, shufflePartitions = P)
+      val times = ops.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        fn(s).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      s.stop()
+      times
+    }
+
+    measure(hiN) // JIT warmup
+    // interleaved as always on this shared host
+    val runs = (1 to iters).flatMap(i => Seq(loN -> measure(loN), hiN -> measure(hiN)))
+    def median(xs: Seq[Double]): Double = { val ss = xs.sorted; ss(ss.size / 2) }
+    val rows = ops.map { case (name, _) =>
+      val lo = runs.collect { case (`loN`, m) => m(name) }
+      val hi = runs.collect { case (`hiN`, m) => m(name) }
+      val eff = (median(lo) / median(hi)) / factor
+      val effBest = (lo.min / hi.min) / factor
+      (name, median(lo), median(hi), eff, effBest)
+    }
+    val nDocs = mult * 5000L // informational; exact count depends on sfDir
+    val table = rows.map { case (n, lo, hi, e, eb) =>
+      f"| $n | $lo%.1f | $hi%.1f | **${e * 100}%.1f%%** | ${eb * 100}%.1f%% |" }.mkString("\n")
+    val md =
+      f"""# BENCH — dedup/ANN scaling (local sandbox)
+         |
+         |Same two-cluster-size protocol as BASELINE.md applied to the
+         |LLM-pipeline scale-path operators, over documents × $mult
+         |(~$nDocs docs at $sfDir; copies alternate exact-dup / near-dup
+         |"copymark" variants — half the corpus collides per operator, the
+         |worst honest shape) and embeddings × $mult. Engine hashing =
+         |DedupHasher.production (xxhash64); $P shuffle partitions at both
+         |levels; median of $iters interleaved runs (+ best-of, deterministic
+         |job on a shared host). N=$loN, ${factor}%.0fN=$hiN cores.
+         |Reproduce: `SPARK_DRIVER_MEM=48g sbt -batch "runMain graft.DedupScalingBench"`.
+         |
+         || operator | local[$loN] sec (med) | local[$hiN] sec (med) | efficiency (med) | efficiency (best) |
+         ||---|---|---|---|---|
+         |$table
+         |""".stripMargin
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/DEDUP.md"), md)
+    val json = rows.map { case (n, lo, hi, e, eb) =>
+      f""""$n":{"sec_lo":$lo%.1f,"sec_hi":$hi%.1f,"eff":$e%.3f,"eff_best":$eb%.3f}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"dedup_scaling","levels":[$loN,$hiN],"ops":$json}""")
   }
 }

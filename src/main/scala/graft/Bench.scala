@@ -164,7 +164,7 @@ object ScalingBench {
   }
 
   final case class SizeResult(
-      nPages: Int, urls: Long, thrLo: Double, thrHi: Double,
+      nPages: Int, parts: Int, urls: Long, thrLo: Double, thrHi: Double,
       eff: Double, effBest: Double, runDetail: String)
 
   def main(args: Array[String]): Unit = {
@@ -173,19 +173,27 @@ object ScalingBench {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
     val iters = sys.env.getOrElse("SPARK_GRAFT_SCALE_ITERS", "3").toInt
 
-    // fixed partition count for ALL runs: the plan, task set, and sketch
-    // partition math are identical — only the executor-core count varies,
-    // which is exactly the N-vs-4N variable the north rule scales over.
-    // 32 partitions = 4+ waves at the low level, 1+ at the high. (P=64 was
-    // measured ~40% SLOWER at both levels on the 240k corpus — per-task
-    // fixed costs dominate when tasks shrink below ~2s.)
-    val P = sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTS", "32").toInt
+    // Partition count is fixed across the two LEVELS of a size (identical
+    // plan, task set and sketch math — only executor-core count varies,
+    // exactly the N-vs-4N variable the north rule scales over) but SCALES
+    // with the corpus so per-task footprint stays ~15k pages: a fixed P
+    // across sizes makes partitions grow with the corpus, and 16 concurrent
+    // 30k-page parse tasks allocate faster than GC reclaims — measured at
+    // 480k/P=16 as local[16] run+rank SLOWER than local[4] (anti-scaling).
+    // On the real cluster this is standard practice: split count tracks
+    // input size, targeting constant task duration.
+    def partsFor(nPages: Int): Int =
+      sys.env.get("SPARK_GRAFT_SCALE_PARTS").map(_.toInt).getOrElse {
+        var p = 16
+        while (nPages / p > 15000) p *= 2
+        p
+      }
     val Array(loN, hiN) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "4,16")
       .split(",").map(_.trim.toInt)
     val factor = hiN.toDouble / loN
     val textScale = Bench.benchTextScale
-    val cfgTag = {
-      val c = Bench.benchCfg(P)
+    def cfgTag(p: Int) = {
+      val c = Bench.benchCfg(p)
       s"hb${c.hostBudget}_${c.filterKind}_e${c.bloomExpectedPerPartition}"
     }
 
@@ -193,14 +201,14 @@ object ScalingBench {
       else sys.props("java.io.tmpdir")
     val root = Files.createTempDirectory(Paths.get(shm), "graft_scaling").toString
 
-    def ensureCorpusAndTemplate(nPages: Int): (String, String) = {
+    def ensureCorpusAndTemplate(nPages: Int, P: Int): (String, String) = {
       // corpus cached by parameters; MARKER written LAST gates reuse (a
       // partially-written corpus from a crashed run regenerates instead of
       // silently skewing the benchmark)
       val corpus = s"$shm/graft_corpus_${nPages}_${textScale}_$P"
       val markerPath = Paths.get(s"$corpus/_marker.json")
       val marker = s"""{"gen":"fixturegen-v2","nPages":$nPages,"textScale":$textScale,"parts":$P,"seeds":${math.max(64, nPages / 8)}}"""
-      val template = s"$corpus/catalog_template_$cfgTag"
+      val template = s"$corpus/catalog_template_${cfgTag(P)}"
       val tmplMarker = Paths.get(s"$template/_bootstrap_done.json")
       val corpusOk = Files.exists(markerPath) &&
         new String(Files.readAllBytes(markerPath)) == marker
@@ -221,7 +229,7 @@ object ScalingBench {
       (corpus, template)
     }
 
-    def measure(template: String, cpus: Int, tag: String): (Double, Long) = {
+    def measure(template: String, cpus: Int, P: Int, tag: String): (Double, Long) = {
       val s = Bench.session(cpus, shufflePartitions = P)
       val cat = s"$root/cat_$tag"
       cloneCatalog(Paths.get(template), Paths.get(cat))
@@ -232,21 +240,22 @@ object ScalingBench {
     }
 
     val results = sizes.map { nPages =>
-      val (_, template) = ensureCorpusAndTemplate(nPages)
-      measure(template, hiN, s"warm_$nPages") // JIT + page-cache warmup
+      val P = partsFor(nPages)
+      val (_, template) = ensureCorpusAndTemplate(nPages, P)
+      measure(template, hiN, P, s"warm_$nPages") // JIT + page-cache warmup
       // interleave the two levels so slow host phases hit both equally
       val runs = (1 to iters).flatMap(i =>
-        Seq(loN -> measure(template, loN, s"${nPages}_${loN}_$i"),
-            hiN -> measure(template, hiN, s"${nPages}_${hiN}_$i")))
+        Seq(loN -> measure(template, loN, P, s"${nPages}_${loN}_$i"),
+            hiN -> measure(template, hiN, P, s"${nPages}_${hiN}_$i")))
       val urls = runs.map(_._2._2).distinct
       require(urls.size == 1, s"determinism violation at $nPages pages: url counts $urls")
       def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
       val rLo = runs.collect { case (`loN`, (t, _)) => t }
       val rHi = runs.collect { case (`hiN`, (t, _)) => t }
-      val sr = SizeResult(nPages, urls.head, median(rLo), median(rHi),
+      val sr = SizeResult(nPages, P, urls.head, median(rLo), median(rHi),
         (median(rHi) / median(rLo)) / factor, (rHi.max / rLo.max) / factor,
         runs.map { case (c, (t, _)) => f"local[$c] $t%.0f" }.mkString(", "))
-      System.err.println(f"[scaling] ${sr.nPages} pages: eff=${sr.eff * 100}%.1f%% " +
+      System.err.println(f"[scaling] ${sr.nPages} pages (P=$P): eff=${sr.eff * 100}%.1f%% " +
         f"(best ${sr.effBest * 100}%.1f%%) lo=${sr.thrLo}%.0f hi=${sr.thrHi}%.0f")
       sr
     }
@@ -255,20 +264,24 @@ object ScalingBench {
     val head = results.last // largest size = closest to the design regime
     val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
     val curveTable = results.map(r =>
-      f"| ${r.nPages} | ${r.urls} | ${r.thrLo}%.1f | ${r.thrHi}%.1f | **${r.eff * 100}%.1f%%** | ${r.effBest * 100}%.1f%% |")
+      f"| ${r.nPages} | ${r.parts} | ${r.urls} | ${r.thrLo}%.1f | ${r.thrHi}%.1f | **${r.eff * 100}%.1f%%** | ${r.effBest * 100}%.1f%% |")
       .mkString("\n")
     val runLists = results.map(r => s"- ${r.nPages} pages: ${r.runDetail}").mkString("\n")
-    val delivery = Bench.benchCfg(P).sketchDelivery
+    val delivery = Bench.benchCfg(head.parts).sketchDelivery
     val md =
       f"""# BENCH — measured baseline (local sandbox)
          |
          |Workload: batch-iterative crawl, FixtureGen corpus on tmpfs
-         |(textScale=$textScale), $rounds rounds per run, hostBudget=${Bench.benchCfg(P).hostBudget},
-         |sketch delivery "$delivery", $P data/shuffle partitions and JVM heap
-         |$heap at BOTH parallelism levels — the plan, task set and sketch
-         |math are identical; only executor-core count varies (north-rule
-         |two-cluster-size criterion, sandbox adaptation: N=$loN and
-         |${factor}%.0fN=$hiN local cores). Corpus generation, bootstrap (ingest) and
+         |(textScale=$textScale), $rounds rounds per run, hostBudget=${Bench.benchCfg(head.parts).hostBudget},
+         |sketch delivery "$delivery", JVM heap $heap. Within a size, the
+         |partition count P (table below) is IDENTICAL at both parallelism
+         |levels — same plan, task set and sketch math; only executor-core
+         |count varies (north-rule two-cluster-size criterion, sandbox
+         |adaptation: N=$loN and ${factor}%.0fN=$hiN local cores). Across sizes P scales
+         |with the corpus (~15k pages/task — constant task footprint, the
+         |standard split-sizing practice; a fixed P makes parse tasks grow
+         |with the corpus until allocation outruns GC and ADDING cores slows
+         |the job, measured at 480k/P=16). Corpus generation, bootstrap (ingest) and
          |crawl-state open are excluded from timing; every measured run
          |starts from a clone of the same bootstrapped catalog. Median of
          |$iters interleaved runs per level per size (shared host — single
@@ -278,8 +291,8 @@ object ScalingBench {
          |
          |## Efficiency vs round size ($loN→$hiN cores, factor ${factor}%.0fx, gate ≥80%%)
          |
-         || pages | urls/run | local[$loN] urls/s (med) | local[$hiN] urls/s (med) | efficiency (med) | efficiency (best-of-$iters) |
-         ||---|---|---|---|---|---|
+         || pages | P | urls/run | local[$loN] urls/s (med) | local[$hiN] urls/s (med) | efficiency (med) | efficiency (best-of-$iters) |
+         ||---|---|---|---|---|---|---|
          |$curveTable
          |
          |All runs (interleaved order):
@@ -315,7 +328,7 @@ object ScalingBench {
     Files.createDirectories(Paths.get("BENCH"))
     Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
     val curveJson = results.map(r =>
-      f"""{"pages":${r.nPages},"urls":${r.urls},"thr_lo":${r.thrLo}%.1f,"thr_hi":${r.thrHi}%.1f,"eff":${r.eff}%.3f,"eff_best":${r.effBest}%.3f}""")
+      f"""{"pages":${r.nPages},"parts":${r.parts},"urls":${r.urls},"thr_lo":${r.thrLo}%.1f,"thr_hi":${r.thrHi}%.1f,"eff":${r.eff}%.3f,"eff_best":${r.effBest}%.3f}""")
       .mkString("[", ",", "]")
     println(f"""{"metric":"scaling_efficiency","value":${head.eff}%.3f,"unit":"ratio","eff_best":${head.effBest}%.3f,"levels":[$loN,$hiN],"curve":$curveJson}""")
   }

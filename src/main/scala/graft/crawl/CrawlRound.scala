@@ -264,12 +264,20 @@ object CrawlRound {
     val fetched = scheduled.join(pagesCanon, Seq("canon_url"), "left_outer")
       .withColumn("status", when(col("html").isNotNull, lit(200)).otherwise(lit(404)))
 
-    // ---- 7. parse: links + text (ops 11/12/20); parity vs corpus text
+    // ---- 7. parse: links + text (ops 11/12/20); parity vs corpus text.
+    // ONE fused UDF per page: the page bytes are UTF-8-decoded once and feed
+    // both extractions (separate text/links UDFs decoded the ~20 KB twice —
+    // the parse path is the crawl's memory-bandwidth ceiling, so every
+    // page-sized copy counts). Both `parsed` references sit in one Project
+    // after collapse; codegen subexpression elimination evaluates the UDF
+    // once per row.
     val parsed = fetched
+      .withColumn("parsed",
+        when(col("status") === 200, CrawlUdfs.parse_page(col("html"), col("canon_url"))))
       .withColumn("outlinks",
-        when(col("status") === 200, CrawlUdfs.extract_links(col("html"), col("canon_url")))
-          .otherwise(array()))
-      .withColumn("text", when(col("status") === 200, CrawlUdfs.extract_text(col("html"))))
+        when(col("status") === 200, col("parsed.links")).otherwise(array()))
+      .withColumn("text", col("parsed.text"))
+      .drop("parsed")
       .withColumn("text_match",
         col("status") =!= 200 || (col("text") <=> col("ref_text")))
 

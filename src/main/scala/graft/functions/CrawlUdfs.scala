@@ -16,6 +16,9 @@ import graft.urls.UrlCanon
  *
  * All UDFs are deterministic (Spark assumes so by default) and null-tolerant.
  */
+/** Output row of [[CrawlUdfs.parsePageUdf]] (struct column: text, links). */
+final case class ParsedPage(text: String, links: Array[String])
+
 object CrawlUdfs {
 
   /** (html bytes, base url) → resolved absolute outlink array (op 11). */
@@ -24,6 +27,17 @@ object CrawlUdfs {
 
   /** html bytes → visible text per the frozen FIXTURES.md §F3 spec (op 12). */
   val extractTextUdf = udf((html: Array[Byte]) => Html.extractText(html))
+
+  /** Fused ops 11+12 for the crawl parse path: ONE UTF-8 decode of the page
+    * bytes feeds both extractions (the separate UDFs decode ~20 KB twice per
+    * page — measured parse bandwidth). Same frozen semantics, same nulls:
+    * null html → null struct (the caller guards on status anyway). */
+  val parsePageUdf = udf((html: Array[Byte], base: String) =>
+    if (html == null) null
+    else {
+      val (text, links) = Html.extractAll(html, base)
+      ParsedPage(text, links)
+    })
 
   /** robots.txt body → flat rule list (op 13). */
   val robotsParseUdf = udf((body: String) =>
@@ -41,6 +55,7 @@ object CrawlUdfs {
 
   def extract_links(html: Column, base: Column): Column = extractLinksUdf(html, base)
   def extract_text(html: Column): Column = extractTextUdf(html)
+  def parse_page(html: Column, base: Column): Column = parsePageUdf(html, base)
   def robots_parse(body: Column): Column = robotsParseUdf(body)
   def robots_allows(rules: Column, ua: Column, path: Column): Column =
     robotsAllowsUdf(rules, ua, path)

@@ -40,6 +40,92 @@ class HtmlRobotsSpec extends AnyFunSuite {
       "http://ex.com/dir/page?q=1&r=2"))
   }
 
+  // The LITERAL §F3 pipeline — four sequential regex/string passes — kept
+  // here as the normative reference the optimized two-pass scanner in
+  // Html.scala must equal byte-for-byte. If these ever diverge, the SCANNER
+  // is wrong: this formulation IS the frozen spec.
+  private object F3Reference {
+    import java.util.regex.Pattern
+    private val ScriptStyleComment = Pattern.compile(
+      "(?is)<script\\b[^>]*>.*?</script>|<style\\b[^>]*>.*?</style>|<!--.*?-->")
+    private val AnyTag = Pattern.compile("<[^>]*>")
+    private val Entity = Pattern.compile(
+      "&(amp|lt|gt|quot|apos|nbsp);|&#(\\d+);|&#[xX]([0-9a-fA-F]+);")
+    private def decode(s: String): String = {
+      val m = Entity.matcher(s)
+      val sb = new java.lang.StringBuilder(s.length)
+      var last = 0
+      while (m.find()) {
+        sb.append(s, last, m.start())
+        if (m.group(1) != null) sb.append(m.group(1) match {
+          case "amp" => "&"; case "lt" => "<"; case "gt" => ">"
+          case "quot" => "\""; case "apos" => "'"; case "nbsp" => " "
+        })
+        else if (m.group(2) != null) sb.appendCodePoint(Integer.parseInt(m.group(2)))
+        else sb.appendCodePoint(Integer.parseInt(m.group(3), 16))
+        last = m.end()
+      }
+      sb.append(s, last, s.length); sb.toString
+    }
+    private def collapse(s: String): String = {
+      val sb = new java.lang.StringBuilder(s.length)
+      var inWs = true
+      s.foreach { c =>
+        if (Character.isWhitespace(c) || c == ' ') { if (!inWs) sb.append(' '); inWs = true }
+        else { sb.append(c); inWs = false }
+      }
+      if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
+      sb.toString
+    }
+    def extract(html: String): String =
+      collapse(decode(AnyTag.matcher(
+        ScriptStyleComment.matcher(html).replaceAll(" ")).replaceAll(" ")))
+  }
+
+  test("optimized scanner ≡ literal F3 regex pipeline (fixtures + adversarial)") {
+    val adversarial = Seq(
+      "", "plain", "a  b\t\nc", "&amp;&lt;&gt;&quot;&apos;&nbsp;",
+      "&AMP; &Amp; &amp", "&#65;&#x41;&#X41;", "&#; &#x; &#xg; &#65",
+      "x&#65", "unclosed <script>var x=1; end", "unclosed <!-- comment end",
+      "<ScRiPt a=b>x</sCrIpT>after", "<style>s</style><script>j</script>t",
+      "<scripty>not a block</scripty>", "<script/>selfclose</script>post",
+      "<scr<script>ipt>nested</script>tail>", "<!-- <script> -->visible",
+      "<script><!--x--></script>y", "<a<b>c>d", "tag< open forever",
+      "a<b>&am<i>p;</i>", "&#9;tab&#10;nl&#160;nbsp", "<>empty<>",
+      "<p>&#x1F600;</p> emoji", "deep " + ("<i>" * 200) + "x" + ("</i>" * 200),
+      "<script>" + ("a" * 5000) + "</script>done",
+      "<SCRIPT\nsrc='x'\n>body\n</SCRIPT >oops</script>fin")
+    adversarial.foreach { h =>
+      assert(Html.extractTextStr(h) == F3Reference.extract(h), s"diverged on: $h")
+    }
+    // every fixture page, two universes
+    Seq(300L, 41L).foreach { n =>
+      val uni = graft.crawl.FixtureGen.Universe(n)
+      (0L until n).foreach { p =>
+        val h = new String(uni.pageRow(p).html, java.nio.charset.StandardCharsets.UTF_8)
+        assert(Html.extractTextStr(h) == F3Reference.extract(h), s"diverged on fixture page $p")
+      }
+    }
+    // pseudo-random tag soup (deterministic seed)
+    val rnd = new scala.util.Random(0xF3)
+    val atoms = Seq("<p>", "</p>", "a", " ", "&amp;", "&", "#", ";", "<script>", "</script>",
+      "<!--", "-->", "<style>", "</style>", "<", ">", "&#65;", "&#x", "1", "\n", "\"", "x=", "<a href=q>")
+    (1 to 500).foreach { _ =>
+      val h = Seq.fill(rnd.nextInt(40))(atoms(rnd.nextInt(atoms.length))).mkString
+      assert(Html.extractTextStr(h) == F3Reference.extract(h), s"diverged on soup: $h")
+    }
+  }
+
+  test("parse_page fused UDF ≡ separate text/links extraction") {
+    val uni = graft.crawl.FixtureGen.Universe(100)
+    (0L until 100L).foreach { p =>
+      val row = uni.pageRow(p)
+      val (text, links) = Html.extractAll(row.html, uni.canonUrl(p))
+      assert(text == Html.extractText(row.html))
+      assert(links.toSeq == Html.extractLinks(row.html, uni.canonUrl(p)).toSeq)
+    }
+  }
+
   test("fixture pages: stored text equals frozen extractor output") {
     val uni = graft.crawl.FixtureGen.Universe(200)
     (0L until 200L).foreach { p =>

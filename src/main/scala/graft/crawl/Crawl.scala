@@ -148,8 +148,19 @@ object Crawl {
 
   def openState(spark: SparkSession, catalog: StateCatalog, cfg: CrawlConfig,
       eager: Boolean = false): CrawlState = {
+    // Partition AND sort by the fetch-join key: InMemoryRelation preserves
+    // the cached plan's outputOrdering, so every round's sort-merge fetch
+    // join consumes the corpus as-is — no Exchange and no per-round Sort of
+    // the page payloads. Without the sort the SMJ re-sorts the full cached
+    // corpus (html bodies and all) EVERY round: measured at 480k pages /
+    // local[16] as ~740 MB peak execution memory per task and 4.7x task-time
+    // inflation vs local[4] (16 concurrent payload sorts contending for the
+    // unified memory pool), the dominant anti-scaling term of the whole
+    // crawl. On a real cluster this is the Iceberg bucketed+sorted table
+    // layout — sorted once at ingest, consumed merge-ready forever.
     val pagesCanon = catalog.load(spark, "pages_canon").get
       .repartition(cfg.numPartitions, col("canon_url"))
+      .sortWithinPartitions(col("canon_url"))
       .persist()
     // robots: static state is cached once; in-loop state grows per round and
     // is re-read from the (small) committed table

@@ -146,4 +146,42 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = physical(ranked)
     assert(!plan.contains("Window"), s"globalSeq must not use a window: $plan")
   }
+
+  test("fetch join consumes the corpus cache merge-ready: no per-round Sort or Exchange") {
+    // The corpus is cached partitioned AND locally sorted on canon_url
+    // (Crawl.openState) so the per-round sort-merge fetch join reads it
+    // as-is. A Sort above the corpus-side InMemoryTableScan means every
+    // round re-sorts the full page payloads — measured as the dominant
+    // anti-scaling term at 480k pages (740 MB peak execution memory per
+    // task at local[16]). This pins the InMemoryRelation ordering
+    // propagation the fix relies on.
+    val corpus = spark.range(500)
+      .select(concat(lit("https://h"), pmod(col("id"), lit(40)), lit(".com/p"), col("id"))
+        .as("canon_url"), col("id").as("payload"))
+      .repartition(8, col("canon_url"))
+      .sortWithinPartitions(col("canon_url"))
+      .persist()
+    corpus.count()
+    try {
+      val sched = spark.range(100)
+        .select(concat(lit("https://h"), pmod(col("id"), lit(40)), lit(".com/p"), col("id"))
+          .as("canon_url"))
+      // hint("merge") pins the SMJ strategy the real (un-broadcastable) corpus
+      // gets naturally; without it this 500-row fixture broadcasts.
+      val joined = sched.join(corpus.hint("merge"), Seq("canon_url"), "left_outer")
+      joined.count() // finalize AQE
+      val fullPlan = joined.queryExecution.executedPlan.toString
+      // everything after "InMemoryRelation" is the cached BUILD plan (which
+      // legitimately contains the one-time Sort/Exchange); the consuming
+      // round plan is what must stay sort- and exchange-free on the corpus side
+      val plan = fullPlan.substring(0, fullPlan.indexOf("InMemoryRelation"))
+      assert(fullPlan.contains("SortMergeJoin"), fullPlan)
+      // exactly ONE Sort (the scheduled probe side); the cached corpus side
+      // must contribute neither a Sort nor an Exchange
+      val sorts = "(?m)^\\s*[:+]?[- ]*\\*?\\(?\\d*\\)?\\s*Sort ".r.findAllIn(plan).length
+      assert(sorts == 1, s"corpus side must not re-sort (found $sorts Sorts): $fullPlan")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"corpus side must stay exchange-free: $fullPlan")
+    } finally corpus.unpersist()
+  }
 }

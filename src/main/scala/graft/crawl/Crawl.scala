@@ -75,6 +75,17 @@ object Crawl {
     val keyed = newKeys
       .withColumn("partition_id", CrawlRound.partitionIdOf(col("canon_url"), cfg.numPartitions))
       .withColumn("key", xxhash64(col("canon_url")))
+      // Shuffle the RAW KEYS to their bucket before aggregating: a groupBy
+      // straight off the (arbitrarily-partitioned) key frame plans a
+      // map-side partial agg, where every map task allocates a partial
+      // bitset per bucket it sees — up to P sketch-sized buffers per task,
+      // all serialized through the shuffle. Partial state ≫ raw keys here
+      // (a round's keys per bucket are a few hundred KB; a bitset is fixed
+      // bloom-sized regardless of how few keys it holds), so the usual
+      // "partial agg reduces shuffle" heuristic is inverted. After the
+      // explicit repartition the aggregate's requirement is already
+      // satisfied and each reduce task builds exactly ONE sketch.
+      .repartition(cfg.numPartitions, col("partition_id"))
     val agg =
       if (cfg.filterKind == "cuckoo")
         SketchAgg.cuckooBuild(cfg.bloomExpectedPerPartition)(col("key"))
@@ -243,11 +254,13 @@ object Crawl {
         catalog.commit(round, Map(
           "fetch_log" -> out.fetchLog,
           "frontier" -> out.frontierNext,
-          "url_seen_exact" -> out.seenExactNext,
           "url_seen" -> sketchNext,
-          "denied" -> out.denied,
-          "lineage" -> out.lineage)
-          ++ out.robotsFetched.map(rn => "robots_rules" -> robotsRules.unionByName(rn)), {
+          // near-empty every round: 32 one-file-per-task writes of a
+          // ~100-row table are pure job overhead (the Iceberg target-file-
+          // size behavior, done by hand)
+          "denied" -> out.denied.coalesce(math.max(1, cfg.numPartitions / 8)),
+          "lineage" -> out.lineage.coalesce(1))
+          ++ out.robotsFetched.map(rn => "robots_rules" -> robotsRules.unionByName(rn)), metrics = {
           // by-name metrics: evaluated after the writes, reading the
           // Observations those writes fired — no jobs
           r = CrawlRound.result(out)
@@ -260,7 +273,10 @@ object Crawl {
             "deduped_bloom_definite" -> r.dedupedBloomDefinite,
             "deduped_exact" -> r.dedupedExact,
             "text_mismatches" -> r.textMismatches)
-        })
+        },
+          // the monotone seen set is committed as a DELTA (this round's new
+          // keys, already cached) — never a full rewrite of the growing table
+          appends = Map("url_seen_exact" -> out.newKeys))
         if (r == null) r = CrawlRound.result(out)
         r
       }

@@ -57,8 +57,7 @@ object CrawlRound {
       round: Int,
       fetchLog: DataFrame,
       frontierNext: DataFrame,
-      seenExactNext: DataFrame,
-      newKeys: DataFrame,
+      newKeys: DataFrame, // this round's newly-seen canon_urls — committed as the url_seen_exact APPEND delta
       denied: DataFrame,
       logged: DataFrame,
       lineage: DataFrame,
@@ -374,7 +373,6 @@ object CrawlRound {
     val frontierNext = eligibleAll
       .join(scheduledKeys.unionByName(deniedKeys), Seq("canon_url"), "left_anti")
       .unionByName(newEntries)
-    val seenExactNext = seenExact.unionByName(newEntries.select(col("canon_url")))
 
     // ---- 12. per-partition lineage (op 33, north_rule "per-partition
     // lineage + fetch/parse counters"), FOLDED: every counter is a narrow
@@ -384,21 +382,29 @@ object CrawlRound {
     // was the measured scaling-efficiency floor). The round-total metrics
     // ride a single observe() on top of this frame — the topmost node of
     // the only plan that consumes it, above every cache (see RoundOutput).
-    def branch(df: DataFrame, metric: String, weight: Column): DataFrame =
+    // one scan per source frame: each row fans out to ALL of its frame's
+    // metrics through a single generator, instead of one branch (= one
+    // cache scan + one task set) per metric — 8 scans folded to 5, same
+    // single shuffle/aggregate
+    def branch(df: DataFrame, metrics: (String, Column)*): DataFrame =
       df.select(partitionIdOf(col("canon_url"), cfg.numPartitions).as("partition_id"),
-        lit(metric).as("metric"), weight.cast("long").as("w"))
+        explode(array(metrics.map { case (m, w) =>
+          struct(lit(m).as("metric"), w.cast("long").as("w")) }: _*)).as("mw"))
+        .select(col("partition_id"), col("mw.metric").as("metric"), col("mw.w").as("w"))
     val obsLineage = org.apache.spark.sql.Observation(s"lineage_r$round")
     def totalOf(metric: String): Column =
       sum(when(col("metric") === metric, col("value")).otherwise(0L)).as(metric)
     val lineage = Seq(
-      branch(frontierNext, "frontier_rows", lit(1L)),
-      branch(logged, "fetched", lit(1L)),
-      branch(logged, "parsed_ok", when(col("status") === 200, 1L).otherwise(0L)),
-      branch(logged, "text_mismatch", when(!col("text_match"), 1L).otherwise(0L)),
-      branch(denied, "robots_denied", lit(1L)),
-      branch(flagged, "discovered", lit(1L)),
-      branch(flagged, "bloom_might", when(col("might_seen"), 1L).otherwise(0L)),
-      branch(newEntries, "enqueued", lit(1L)))
+      branch(frontierNext, "frontier_rows" -> lit(1L)),
+      branch(logged,
+        "fetched" -> lit(1L),
+        "parsed_ok" -> when(col("status") === 200, 1L).otherwise(0L),
+        "text_mismatch" -> when(!col("text_match"), 1L).otherwise(0L)),
+      branch(denied, "robots_denied" -> lit(1L)),
+      branch(flagged,
+        "discovered" -> lit(1L),
+        "bloom_might" -> when(col("might_seen"), 1L).otherwise(0L)),
+      branch(newEntries, "enqueued" -> lit(1L)))
       .reduce(_ unionByName _)
       .groupBy(col("partition_id"), col("metric"))
       .agg(sum(col("w")).as("value"))
@@ -409,7 +415,7 @@ object CrawlRound {
         totalOf("robots_denied"), totalOf("discovered"), totalOf("bloom_might"),
         totalOf("enqueued"))
 
-    RoundOutput(round, fetchLog, frontierNext, seenExactNext,
+    RoundOutput(round, fetchLog, frontierNext,
       newEntries.select(col("canon_url")), denied, logged, lineage,
       robotsNewOpt, obsLineage, obsRobotsOpt,
       persisted = Seq(logged, parseCache, rankSorted, scheduled, newEntries, flagged, denied)

@@ -31,8 +31,17 @@ trait StateCatalog {
   /** Atomically publish a round's tables. Returns the snapshot id.
     * `metrics` is by-name and evaluated AFTER the table writes, before the
     * manifest rename — metric aggregates over frames the writes just
-    * materialized read cache instead of forcing their own jobs. */
-  def commit(round: Int, tables: Map[String, DataFrame], metrics: => Map[String, Long] = Map.empty): String
+    * materialized read cache instead of forcing their own jobs.
+    *
+    * `tables` entries REPLACE the table (full snapshot); `appends` entries
+    * publish only a delta — readers see prior data plus the delta (Iceberg
+    * append snapshot). Append is the only sane shape for monotone-growing
+    * state at the design point: a 10^10-row seen set must never be
+    * rewritten to add one round's URLs. A later `tables` entry for the
+    * same name resets the chain (that is how re-crawl eviction compacts). */
+  def commit(round: Int, tables: Map[String, DataFrame],
+      metrics: => Map[String, Long] = Map.empty,
+      appends: Map[String, DataFrame] = Map.empty): String
   /** Metrics map of a committed round (lineage accounting). */
   def metricsOf(round: Int): Map[String, Long]
 }
@@ -69,7 +78,8 @@ final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
       if (Files.exists(manifestPath(r))) {
         val m = readManifest(r)
         m.get(s"table.$table") match {
-          case Some(rel) => return Some(spark.read.parquet(root.resolve(rel).toString))
+          case Some(rel) => return Some(spark.read.parquet(
+            rel.split(',').map(r => root.resolve(r).toString).toIndexedSeq: _*))
           case None => // table not rewritten this round — keep walking back
         }
       }
@@ -78,7 +88,24 @@ final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
     None
   }
 
-  override def commit(round: Int, tables: Map[String, DataFrame], metrics: => Map[String, Long]): String = {
+  /** Relpath chain for `table` as of the newest manifest ≤ `upTo`
+    * (comma-separated when the table has append deltas). */
+  private def relsOf(table: String, upTo: Int): Option[String] = {
+    var r = upTo
+    while (r >= 0) {
+      if (Files.exists(manifestPath(r))) {
+        readManifest(r).get(s"table.$table") match {
+          case Some(rel) => return Some(rel)
+          case None =>
+        }
+      }
+      r -= 1
+    }
+    None
+  }
+
+  override def commit(round: Int, tables: Map[String, DataFrame],
+      metrics: => Map[String, Long], appends: Map[String, DataFrame]): String = {
     // Write the round's tables as CONCURRENT Spark jobs: they are
     // independent dataflows into separate dirs, and the scheduler fills
     // idle task slots across jobs — serializing them would add one full
@@ -96,17 +123,29 @@ final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
     // and an in-process retry of the round would race them on the same .tmp
     // path. Settling first means no write of a failed commit is in flight
     // when the caller sees the exception.
-    val settled = Await.result(Future.traverse(tables.toSeq) { case (name, df) =>
+    val work = tables.toSeq.map { case (n, df) => (n, df, false) } ++
+      appends.toSeq.map { case (n, df) => (n, df, true) }
+    val settled = Await.result(Future.traverse(work) { case (name, df, isAppend) =>
       Future {
         Try {
           val rel = f"$name/r$round%06d"
           val tmp = root.resolve(rel + ".tmp")
           val fin = root.resolve(rel)
+          val t0 = System.nanoTime()
           df.write.mode("overwrite").parquet(tmp.toString)
+          if (sys.env.contains("GRAFT_CRAWL_TIMING")) System.err.println(
+            f"[commit] r$round $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
           // idempotent re-commit of the same round: clear any previous final dir
           if (Files.exists(fin)) deleteRecursively(fin)
           Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
-          s"table.$name" -> rel
+          // append: the manifest entry carries the full relpath chain
+          // (anchored at the chain read as of round-1, so an idempotent
+          // re-commit of this round rebuilds the same chain), and load()
+          // plus the walk-back stay oblivious to delta vs full snapshots
+          val chain = if (isAppend)
+            relsOf(name, round - 1).map(_ + "," + rel).getOrElse(rel)
+          else rel
+          s"table.$name" -> chain
         }
       }
     }, Duration.Inf)

@@ -73,7 +73,18 @@ final case class CrawlConfig(
     //     task and stream the keys through it. The tier for the design
     //     point, where P=2^15 × ~1.5 MB ≈ 48 GB can neither collect nor
     //     broadcast. Verdicts are identical between tiers by construction.
-    sketchDelivery: String = "broadcast")
+    sketchDelivery: String = "broadcast",
+    // Overlap round N's commit (table writes + manifest) with round N+1's
+    // compute: the commit is a fixed per-round cost (parquet writes, mostly
+    // I/O-bound — measured at ~half the round wall at 16 cores) that does
+    // not shrink with cores, so hiding it under the next round's compute is
+    // the single biggest Amdahl cut in the loop. Depth is exactly 1 and
+    // commit N must settle before commit N+1 starts (manifests are ordered,
+    // and the append-delta chain of N+1 anchors on N's manifest), so crash
+    // durability is unchanged: at most the one in-flight round is lost,
+    // same as the synchronous loop. Committed bytes are identical either
+    // way — the determinism/resume contract is mode-independent.
+    commitPipelining: Boolean = true)
 
 /** A discovered frontier entry tagged with its URL-seen sketch verdict —
   * the map-side probe's output row ([[CrawlRound.run]] step 10). */

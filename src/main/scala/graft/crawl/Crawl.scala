@@ -200,106 +200,206 @@ object Crawl {
     try runRounds(spark, catalog, cfg, maxRounds, st) finally st.close()
   }
 
+  /** Frame-lifetime rule of the pipelined loop: round N's caches back (a)
+    * commit N's writes and (b) round N+1's OUTPUT plans (frontierNext_{N+1}
+    * is built over frontierNext_N, etc.), which materialize no later than
+    * commit N+1. So frames_N retire exactly when commit N+1 settles —
+    * freeing them earlier would silently recompute plans whose inputs are
+    * gone (and re-sample the rank's range boundaries: a correctness trap,
+    * not just a slowdown). */
+  private final case class InFlight(
+      round: Int,
+      fut: scala.concurrent.Future[CrawlRound.RoundResult],
+      frames: Seq[DataFrame])
+
   def runRounds(
       spark: SparkSession,
       catalog: StateCatalog,
       cfg: CrawlConfig,
       maxRounds: Int,
       state: CrawlState): Seq[CrawlRound.RoundResult] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val startRound = catalog.latestRound.getOrElse(
       throw new IllegalStateException("catalog not bootstrapped")) + 1
     val pagesCanon = state.pagesCanon
     val robotsSource = state.robotsSource
-    val robotsStatic = state.robotsStatic
     val results = scala.collection.mutable.ArrayBuffer[CrawlRound.RoundResult]()
-
-    var sketches = state.sketches
     val mapside = cfg.sketchDelivery == "mapside"
+    val timing = sys.env.contains("GRAFT_CRAWL_TIMING")
+
+    // Commit executor: ONE dedicated daemon thread. Commits must be ordered
+    // (manifest N settles before commit N+1 starts — N+1's append chain
+    // anchors on N's manifest) and each commit is internally parallel
+    // already (concurrent per-table write jobs), so single capacity is
+    // exactly right: the pipeline depth is 1 by construction.
+    val commitPool = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-commit"); t.setDaemon(true); t
+    })
+    val commitEc = ExecutionContext.fromExecutorService(commitPool)
+
+    // Cross-round state handed off IN MEMORY: under pipelining the catalog
+    // lags one round, so the loop never reads a round's own tables back.
+    // Initial values come from the settled catalog — resume is unchanged.
+    var frontier = catalog.load(spark, "frontier").get
+    var seenExact = catalog.load(spark, "url_seen_exact").get
+    var urlSeenPrev = catalog.load(spark, "url_seen")
+    var robotsRules =
+      if (cfg.robotsFetchInLoop) catalog.load(spark, "robots_rules").get else state.robotsStatic
+    var base = catalog.metricsOf(startRound - 1).getOrElse("total_fetched",
+      (0 until startRound).map(r => catalog.metricsOf(r).getOrElse("fetched", 0L)).sum)
+    var sketches = state.sketches
+
+    var inFlight: Option[InFlight] = None
+    var retired: Seq[DataFrame] = Nil // frames of the last SETTLED round
+    var lastRes: Option[CrawlRound.RoundResult] = None
+
+    def settle(): Unit = inFlight.foreach { f =>
+      val res = Await.result(f.fut, Duration.Inf)
+      retired.foreach(_.unpersist())
+      retired = f.frames
+      results += res
+      lastRes = Some(res)
+      inFlight = None
+    }
+    // a robots-only round (in-loop acquisition) is progress: candidates
+    // deferred behind those fetches become schedulable next round
+    def noProgress(r: CrawlRound.RoundResult): Boolean =
+      r.fetched == 0L && r.robotsFetched == 0L
+
     var round = startRound
     var continue = true
-    val timing = sys.env.contains("GRAFT_CRAWL_TIMING")
-    while (continue && round < startRound + maxRounds) {
-      val tRound = System.nanoTime()
-      def phase(name: String, t0: Long): Long = {
-        val t1 = System.nanoTime()
-        if (timing) System.err.println(
-          f"[crawl] r$round $name ${(t1 - t0) / 1e9}%.2fs @${System.currentTimeMillis()}")
-        t1
+    try {
+      while (continue && round < startRound + maxRounds) {
+        if (lastRes.exists(noProgress)) { continue = false }
+        else {
+          val tRound = System.nanoTime()
+          def phase(name: String, t0: Long): Long = {
+            val t1 = System.nanoTime()
+            if (timing) System.err.println(
+              f"[crawl] r$round $name ${(t1 - t0) / 1e9}%.2fs @${System.currentTimeMillis()}")
+            t1
+          }
+          val seenState: SketchState =
+            if (mapside) SketchTable(urlSeenPrev.getOrElse(
+              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                Schemas.urlSeen)))
+            else SketchBroadcast(sketches)
+          // run() is plan construction PLUS the rank materialization (the
+          // sort cache + counts collect inside globalSeqCached force
+          // fetch+parse) — it overlaps the previous round's in-flight commit.
+          val out = CrawlRound.run(spark, frontier, seenExact, seenState, pagesCanon,
+            robotsRules, cfg, round, base, robotsSource)
+          val tRun = phase("run+rank", tRound)
+          val sketchNext = urlSeenPrev match {
+            case Some(prev) => mergeSketches(prev, buildSketchDelta(spark, out.newKeys, cfg))
+            case None => buildSketchDelta(spark, out.newKeys, cfg)
+          }
+          sketchNext.persist()
+          out.frontierNext.persist() // backs the write, the lineage agg AND next round's input
+
+          // ---- barrier: settle round-1's commit before committing this one
+          settle()
+          val tBar = phase("barrier", tRun)
+          if (lastRes.exists(noProgress)) {
+            // the previous round turned out to be the drain: this round ran
+            // SPECULATIVELY and is discarded uncommitted — committed state
+            // stays identical to the sequential loop's.
+            (out.persisted ++ Seq(out.frontierNext, sketchNext)).foreach(_.unpersist())
+            continue = false
+          } else {
+            // capture vals for the closure: the loop vars are reassigned at
+            // handoff below, BEFORE the async commit reads them
+            val thisOut = out
+            val thisBase = base
+            val rulesAtRound = robotsRules
+            val fut = Future {
+              var r: CrawlRound.RoundResult = null
+              catalog.commit(thisOut.round, Map(
+                "fetch_log" -> thisOut.fetchLog,
+                "frontier" -> thisOut.frontierNext,
+                "url_seen" -> sketchNext,
+                // near-empty every round: 32 one-file-per-task writes of a
+                // ~100-row table are pure job overhead (the Iceberg target-
+                // file-size behavior, done by hand)
+                "denied" -> thisOut.denied.coalesce(math.max(1, cfg.numPartitions / 8)),
+                "lineage" -> thisOut.lineage.coalesce(1))
+                ++ thisOut.robotsFetched.map(rn =>
+                  "robots_rules" -> rulesAtRound.unionByName(rn)), metrics = {
+                // by-name metrics: evaluated after the writes, reading the
+                // Observations those writes fired — no jobs
+                r = CrawlRound.result(thisOut)
+                Map(
+                  "total_fetched" -> (thisBase + r.fetched),
+                  "fetched" -> r.fetched,
+                  "discovered" -> r.discovered,
+                  "enqueued" -> r.enqueued,
+                  "robots_denied" -> r.robotsDenied,
+                  "deduped_bloom_definite" -> r.dedupedBloomDefinite,
+                  "deduped_exact" -> r.dedupedExact,
+                  "text_mismatches" -> r.textMismatches)
+              },
+                // the monotone seen set is committed as a DELTA (this
+                // round's new keys, already cached) — never a full rewrite
+                appends = Map("url_seen_exact" -> thisOut.newKeys))
+              if (r == null) r = CrawlRound.result(thisOut)
+              r
+            }(commitEc)
+            inFlight = Some(InFlight(round, fut,
+              out.persisted ++ Seq(out.frontierNext, sketchNext)))
+
+            // ---- hand off state for round+1: cached output frames plus
+            // as-of reads anchored on SETTLED manifests (≤ round-1). Chains
+            // re-anchor on parquet every round, so no handed-off plan ever
+            // references caches older than one round (see frame-lifetime
+            // rule above).
+            //
+            // The cached frames cross the round boundary through an RDD hop
+            // (flat LogicalRDD over the pinned cache): a round's plan embeds
+            // its input frame several times over (eligibility, scheduled
+            // anti-join, discovery union), so chaining raw DataFrames grows
+            // the LOGICAL tree exponentially in round count — measured as a
+            // driver OOM just stringifying a 3-round tree. The hop plays the
+            // role an Iceberg table boundary plays on a real cluster; the
+            // narrow frontier/sketch rows make the Row re-encode cost noise.
+            frontier = spark.createDataFrame(out.frontierNext.rdd, out.frontierNext.schema)
+            // newKeys is hopped too: seenExact_{N+1} embeds it, and ITS plan
+            // embeds seenExact_N — an un-truncated chain recurses one full
+            // round-plan per round (the linear cousin of the exponential
+            // frontier blowup above)
+            seenExact = catalog.load(spark, "url_seen_exact", Some(round - 1)).get
+              .unionByName(spark.createDataFrame(out.newKeys.rdd, out.newKeys.schema))
+            urlSeenPrev = Some(spark.createDataFrame(sketchNext.rdd, sketchNext.schema))
+            if (cfg.robotsFetchInLoop)
+              robotsRules = out.robotsFetched match {
+                case Some(rn) =>
+                  catalog.load(spark, "robots_rules", Some(round - 1)).get
+                    .unionByName(spark.createDataFrame(rn.rdd, rn.schema))
+                case None => catalog.load(spark, "robots_rules", Some(round - 1)).get
+              }
+            base += out.fetchedCount
+            if (!mapside) {
+              // broadcast tier: refresh the driver map for round+1 BEFORE it
+              // runs. The collect forces the (P-row) sketch merge job and
+              // overlaps the in-flight commit like everything else; the
+              // map-side tier reads sketchNext straight from cache instead —
+              // sketch bytes never visit the driver.
+              sketches = sketchNext.select("partition_id", "sketch").collect()
+                .map(rw => rw.getInt(0) ->
+                  graft.sketch.SeenFilter.deserialize(rw.getAs[Array[Byte]](1)))
+                .toMap
+              phase("sketchCollect", tBar)
+            }
+            if (!cfg.commitPipelining) settle()
+            if (timing) System.err.println(
+              f"[crawl] r$round LOOP ${(System.nanoTime() - tRound) / 1e9}%.2fs fetched=${out.fetchedCount}")
+            round += 1
+          }
+        }
       }
-      val frontier = catalog.load(spark, "frontier").get
-      val seenExact = catalog.load(spark, "url_seen_exact").get
-      val robotsRules =
-        if (cfg.robotsFetchInLoop) catalog.load(spark, "robots_rules").get else robotsStatic
-      val base = catalog.metricsOf(round - 1).getOrElse("total_fetched",
-        (0 until round).map(r => catalog.metricsOf(r).getOrElse("fetched", 0L)).sum)
-      val urlSeenPrev = catalog.load(spark, "url_seen")
-      val seenState: SketchState =
-        if (mapside) SketchTable(urlSeenPrev.getOrElse(
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            Schemas.urlSeen)))
-        else SketchBroadcast(sketches)
-      // run() is plan construction PLUS the rank materialization (the sort
-      // cache + counts collect inside globalSeqCached force fetch+parse)
-      val out = CrawlRound.run(spark, frontier, seenExact, seenState, pagesCanon, robotsRules,
-        cfg, round, base, robotsSource)
-      val tRun = phase("run+rank", tRound)
-      val sketchNext = urlSeenPrev match {
-        case Some(prev) => mergeSketches(prev, buildSketchDelta(spark, out.newKeys, cfg))
-        case None => buildSketchDelta(spark, out.newKeys, cfg)
-      }
-      sketchNext.persist()
-      out.frontierNext.persist() // backs both the table write and the lineage agg
-      val res = {
-        var r: CrawlRound.RoundResult = null
-        catalog.commit(round, Map(
-          "fetch_log" -> out.fetchLog,
-          "frontier" -> out.frontierNext,
-          "url_seen" -> sketchNext,
-          // near-empty every round: 32 one-file-per-task writes of a
-          // ~100-row table are pure job overhead (the Iceberg target-file-
-          // size behavior, done by hand)
-          "denied" -> out.denied.coalesce(math.max(1, cfg.numPartitions / 8)),
-          "lineage" -> out.lineage.coalesce(1))
-          ++ out.robotsFetched.map(rn => "robots_rules" -> robotsRules.unionByName(rn)), metrics = {
-          // by-name metrics: evaluated after the writes, reading the
-          // Observations those writes fired — no jobs
-          r = CrawlRound.result(out)
-          Map(
-            "total_fetched" -> (base + r.fetched),
-            "fetched" -> r.fetched,
-            "discovered" -> r.discovered,
-            "enqueued" -> r.enqueued,
-            "robots_denied" -> r.robotsDenied,
-            "deduped_bloom_definite" -> r.dedupedBloomDefinite,
-            "deduped_exact" -> r.dedupedExact,
-            "text_mismatches" -> r.textMismatches)
-        },
-          // the monotone seen set is committed as a DELTA (this round's new
-          // keys, already cached) — never a full rewrite of the growing table
-          appends = Map("url_seen_exact" -> out.newKeys))
-        if (r == null) r = CrawlRound.result(out)
-        r
-      }
-      val tCommit = phase("commit", tRun)
-      if (!mapside) {
-        // broadcast tier only: refresh the driver sketch map from the
-        // just-persisted frame (P rows). The map-side tier reads next
-        // round's state straight from the committed table — sketch bytes
-        // never visit the driver.
-        sketches = sketchNext.select("partition_id", "sketch").collect()
-          .map(rw => rw.getInt(0) -> graft.sketch.SeenFilter.deserialize(rw.getAs[Array[Byte]](1)))
-          .toMap
-        phase("sketchCollect", tCommit)
-      }
-      if (sys.env.contains("GRAFT_CRAWL_TIMING"))
-        System.err.println(f"[crawl] r$round TOTAL ${(System.nanoTime() - tRound) / 1e9}%.2fs fetched=${res.fetched} discovered=${res.discovered}")
-      (out.persisted ++ Seq(out.frontierNext, sketchNext)).foreach(_.unpersist())
-      results += res
-      // a robots-only round (in-loop acquisition) is progress: candidates
-      // deferred behind those fetches become schedulable next round
-      if (res.fetched == 0L && res.robotsFetched == 0L) continue = false
-      round += 1
-    }
+      settle() // the last committed round
+    } finally commitEc.shutdown()
+    retired.foreach(_.unpersist())
     state.sketches = sketches
     results.toSeq
   }

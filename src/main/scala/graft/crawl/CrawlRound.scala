@@ -63,8 +63,14 @@ object CrawlRound {
       lineage: DataFrame,
       robotsFetched: Option[DataFrame], // in-loop mode: newly acquired rules
       obsLineage: org.apache.spark.sql.Observation,
-      obsRobots: Option[org.apache.spark.sql.Observation],
-      persisted: Seq[DataFrame])
+      robotsFetchedCount: Long, // in-loop mode: |missing hosts| this round (driver-known)
+      persisted: Seq[DataFrame],
+      // rows in `logged` (== the round's `fetched` metric), known on the
+      // driver the moment run() returns: the rank's counts pass collects
+      // per-partition counts anyway. Lets the pipelined loop advance the
+      // fetch_seq base for round N+1 while round N's commit (where the
+      // fetched Observation fires) is still in flight.
+      fetchedCount: Long)
 
   final case class RoundResult(
       round: Int,
@@ -192,20 +198,25 @@ object CrawlRound {
     // the robots source table = the web) while their page candidates defer
     // — they are neither scheduled nor denied, so the frontier construction
     // in step 11 retains them automatically for the next round.
-    val (eligible, robotsNewOpt, missingHostsOpt, obsRobotsOpt) = robotsSource match {
-      case None => (eligibleAll, None, None, None)
+    val (eligible, robotsNewOpt, missingHostsOpt, nRobotsFetched) = robotsSource match {
+      case None => (eligibleAll, None, None, 0L)
       case Some(src) =>
         val known = robotsRules.select("host")
         val missingHosts = eligibleAll.select("host").distinct()
           .join(known, Seq("host"), "left_anti")
         missingHosts.persist()
-        val obsRobots = org.apache.spark.sql.Observation(s"robots_r$round")
+        // count() driver-side, NOT an Observation: the new-rules frame is
+        // handed to the NEXT round (its rules = prior ∪ these) as well as
+        // written by this round's commit — two independent scans, and a
+        // CollectMetrics node may only be attached to one executing query.
+        // The count doubles as the eager materialization of the tiny cached
+        // host set the broadcast anti-join below needs anyway.
+        val nMissing = missingHosts.count()
         val fetchedRules = missingHosts.join(src, Seq("host"), "left_outer")
           .withColumn("rules", CrawlUdfs.robots_parse(col("robots_body")))
           .select("host", "rules") // missing robots.txt → empty rules = allow (RFC 9309)
-          .observe(obsRobots, count(lit(1)).as("n"))
         val eligibleNow = eligibleAll.join(broadcast(missingHosts), Seq("host"), "left_anti")
-        (eligibleNow, Some(fetchedRules), Some(missingHosts), Some(obsRobots))
+        (eligibleNow, Some(fetchedRules), Some(missingHosts), nMissing)
     }
 
     // ---- 2. robots verdict (broadcast join + longest-match UDF, ops 28/14)
@@ -295,8 +306,8 @@ object CrawlRound {
       when(col("text").isNotNull, sha2(col("text"), 256)).as("text_sha256"),
       col("text_match"), priorityCol.as("priority"), col("outlinks"))
     parseCache.persist()
-    val (rankedSeq, rankSorted) = Ranks.globalSeqCached(parseCache.drop("outlinks"), "seq0",
-      priorityOrder, cfg.numPartitions)
+    val (rankedSeq, rankSorted, nRanked) = Ranks.globalSeqCachedWithCount(
+      parseCache.drop("outlinks"), "seq0", priorityOrder, cfg.numPartitions)
     val logged = rankedSeq
       .withColumn("fetch_seq", col("seq0") + lit(fetchSeqBase)).drop("seq0")
     logged.persist()
@@ -417,9 +428,10 @@ object CrawlRound {
 
     RoundOutput(round, fetchLog, frontierNext,
       newEntries.select(col("canon_url")), denied, logged, lineage,
-      robotsNewOpt, obsLineage, obsRobotsOpt,
+      robotsNewOpt, obsLineage, nRobotsFetched,
       persisted = Seq(logged, parseCache, rankSorted, scheduled, newEntries, flagged, denied)
-        ++ missingHostsOpt.toSeq)
+        ++ missingHostsOpt.toSeq,
+      fetchedCount = nRanked)
   }
 
   /** Round metrics — read from the Observation the lineage commit write
@@ -448,6 +460,6 @@ object CrawlRound {
       dedupedExact = nMight - nVerifiedNew, // truly seen (bloom positives that held)
       textMismatches = nMismatch,
       frontierLeft = -1L,
-      robotsFetched = out.obsRobots.map(v(_, "n")).getOrElse(0L))
+      robotsFetched = out.robotsFetchedCount)
   }
 }

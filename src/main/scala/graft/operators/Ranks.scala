@@ -50,6 +50,21 @@ object Ranks {
       seqCol: String,
       order: Seq[Column],
       numPartitions: Int): (DataFrame, DataFrame) = {
+    val (out, sorted, _) = globalSeqCachedWithCount(df, seqCol, order, numPartitions)
+    (out, sorted)
+  }
+
+  /** [[globalSeqCached]] plus the TOTAL row count — the counts pass already
+    * collects per-partition counts to the driver for the prefix sum, so the
+    * total is free. The crawl loop uses it to advance `fetch_seq` base
+    * across rounds without waiting on commit-time Observations (the
+    * pipelined loop hands state to round N+1 while round N's commit — where
+    * the observations fire — is still in flight). */
+  def globalSeqCachedWithCount(
+      df: DataFrame,
+      seqCol: String,
+      order: Seq[Column],
+      numPartitions: Int): (DataFrame, DataFrame, Long) = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(numPartitions, order: _*)
       .sortWithinPartitions(order: _*)
@@ -72,7 +87,7 @@ object Ranks {
         r
       }
     }
-    (out, sorted)
+    (out, sorted, counts.values.sum)
   }
 
   /** Consume-once convenience over [[globalSeqCached]]: the ranked frame is

@@ -132,6 +132,31 @@ class CrawlSpec extends AnyFunSuite {
       "URL-seen sets diverge between delivery tiers")
   }
 
+  test("pipelined commit ≡ synchronous loop: tables, metrics, and drain behavior") {
+    // enough rounds that the frontier DRAINS: the pipelined loop runs one
+    // speculative round past the drain and must discard it uncommitted
+    val (catA, resA, _) = runCrawl(tmp(), 400, 6, 30) // default: pipelined
+    val (catB, resB, _) = runCrawl(tmp(), 400, 6, 30, cfg.copy(commitPipelining = false))
+    assert(resA.size < 30, "fixture did not drain — the discard path went unexercised")
+    assert(resA.map(r => (r.round, r.fetched, r.enqueued, r.robotsDenied)) ==
+      resB.map(r => (r.round, r.fetched, r.enqueued, r.robotsDenied)))
+    // identical committed rounds: the speculative post-drain round left no trace
+    assert(catA.latestRound == catB.latestRound)
+    val proj = Seq("fetch_seq", "canon_url", "status", "scheduled_offset_ms", "text_sha256")
+    val a = Crawl.fullFetchLog(spark, catA).orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    val b = Crawl.fullFetchLog(spark, catB).orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    assert(a.length == b.length && a.sameElements(b), "pipelined and sync runs diverged")
+    // commit-time metrics (Observation-fed, including total_fetched computed
+    // from the driver-side fetch_seq base handoff) agree between modes
+    val last = catA.latestRound.get
+    assert(catA.metricsOf(last) == catB.metricsOf(last))
+    assert(catA.metricsOf(last)("total_fetched") == resA.map(_.fetched).sum)
+    // the seen set (append-delta chain) agrees too
+    val seenA = catA.load(spark, "url_seen_exact").get
+    val seenB = catB.load(spark, "url_seen_exact").get
+    assert(seenA.exceptAll(seenB).isEmpty && seenB.exceptAll(seenA).isEmpty)
+  }
+
   test("determinism: identical fetch_log across two full runs") {
     val (catA, _, _) = runCrawl(tmp(), 1000, 8, 3)
     val (catB, _, _) = runCrawl(tmp(), 1000, 8, 3)

@@ -41,7 +41,11 @@ object Bench {
     // bigger corpora / smaller P raise it via env.
     bloomExpectedPerPartition =
       sys.env.getOrElse("SPARK_GRAFT_BLOOM_EXPECTED", (1 << 16).toString).toLong,
-    sketchDelivery = sys.env.getOrElse("SPARK_GRAFT_SKETCH_DELIVERY", "broadcast"),
+    // mapside is the bench default: it is the design-point tier AND, under
+    // commit pipelining, the only tier whose per-round driver work is O(1)
+    // — the broadcast tier's sketch collect forces the round's discovery
+    // branch on the foreground thread before the next round can start
+    sketchDelivery = sys.env.getOrElse("SPARK_GRAFT_SKETCH_DELIVERY", "mapside"),
     commitPipelining = sys.env.getOrElse("SPARK_GRAFT_PIPELINE", "on") != "off")
 
   /** Bootstrap `catalogDir` from `corpusDir` (ingest: canonicalize + seed). */
@@ -281,9 +285,12 @@ object ScalingBench {
     val atMax = results.filter(_.nPages == sizes.max)
     val head = atMax.minBy(_.loN)
     val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
+    // joined with "\n|": rows start with the table's own '|', which
+    // stripMargin would strip on continuation lines — the extra margin
+    // char keeps multi-row tables intact
     val curveTable = results.map(r =>
       f"| ${r.nPages} | ${r.parts} | ${r.loN}→${r.hiN} | ${r.urls} | ${r.thrLo}%.1f | ${r.thrHi}%.1f | **${r.eff * 100}%.1f%%** | ${r.effBest * 100}%.1f%% |")
-      .mkString("\n")
+      .mkString("\n|")
     val runLists = results.map(r =>
       s"- ${r.nPages} pages, ${r.loN}→${r.hiN}: ${r.runDetail}").mkString("\n")
     val delivery = Bench.benchCfg(head.parts).sketchDelivery

@@ -413,6 +413,11 @@ object DedupScalingBench {
       * half near-dup groups, the worst honest case for every operator. */
     def docs(s: org.apache.spark.sql.SparkSession): DataFrame =
       s.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+        // the base table is ONE parquet file = one input split: without this
+        // repartition the x-mult expansion AND all downstream per-row work
+        // (shingling, signatures) run on a single task at any core count —
+        // measured as the whole op pinned near 1 core at both levels
+        .repartition(P)
         .crossJoin(s.range(mult).select(col("id").as("c")))
         .select((col("doc_id") + col("c") * 10000000L).as("doc_id"),
           when(pmod(col("c"), lit(2)) === 0, col("text"))
@@ -420,18 +425,39 @@ object DedupScalingBench {
 
     def embs(s: org.apache.spark.sql.SparkSession): DataFrame =
       s.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+        .repartition(P) // same single-split story as docs()
         .crossJoin(s.range(mult).select(col("id").as("c")))
         .select((col("vec_id") + col("c") * 10000000L).as("vec_id"),
           Similarity.quantize(col("embedding")).as("qv"))
 
-    val signs = Similarity.rhpSigns(4, 64)
+    // Bucket-bit sizing rule: target ~64 rows/bucket — 2^bits ≈ nVecs/64.
+    // At sf0.1 × mult=10 that is ~50k vectors ⇒ 10 bits (1024 buckets).
+    // Undersizing is quadratic poison: 4 bits = 16 buckets put ~3k rows in
+    // each, and the within-bucket all-pairs verify became a handful of
+    // ~5M-pair straggler tasks (measured: the whole bench pinned at ~1.2
+    // cores for 38+ min). The same rule is what an ingest-time bucketing
+    // would apply at the design point: bits grow with the corpus, bucket
+    // population stays constant, and the verify stays embarrassingly
+    // parallel.
+    val rhpBits = sys.env.getOrElse("SPARK_GRAFT_RHP_BITS",
+      math.max(4, math.ceil(math.log((5000.0 * mult) / 64) / math.log(2)).toInt).toString).toInt
+    val signs = Similarity.rhpSigns(rhpBits, 64)
     val ops: Seq[(String, org.apache.spark.sql.SparkSession => DataFrame)] = Seq(
       "exact_dedup" -> (s => Dedup.exactDedup(docs(s))),
       "minhash_lsh" -> (s => Dedup.minhashNearDupPairs(docs(s), k = 32, bands = 8,
         minJ = 0.5, hasher = DedupHasher.production)),
       "simhash_pigeonhole" -> (s => Dedup.simhashNearDupPairs(docs(s), maxDist = 3)),
       "embedding_rhp_lsh" -> { s =>
+        // explicit bucket repartition BEFORE the self-join: the join's
+        // input shuffle is tiny (200k × ~80 B) so AQE coalesces it to ~1
+        // partition, but the within-bucket output explodes quadratically —
+        // invisible to AQE's input-size heuristic, measured as the op
+        // pinned near 1 core at both levels. A user repartition is exempt
+        // from AQE coalescing and is exactly the ingest-time bucket layout
+        // the design point would persist; both join sides then inherit
+        // HashPartitioning(bucket, P) and the join is exchange-free.
         val e = embs(s).withColumn("bucket", Similarity.rhpBucketQuantized(col("qv"), signs))
+          .repartition(P, col("bucket"))
         val a = e.select(col("bucket"), col("vec_id").as("id_a"), col("qv").as("qa"))
         val b = e.select(col("bucket"), col("vec_id").as("id_b"), col("qv").as("qb"))
         a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
@@ -464,7 +490,7 @@ object DedupScalingBench {
     }
     val nDocs = mult * 5000L // informational; exact count depends on sfDir
     val table = rows.map { case (n, lo, hi, e, eb) =>
-      f"| $n | $lo%.1f | $hi%.1f | **${e * 100}%.1f%%** | ${eb * 100}%.1f%% |" }.mkString("\n")
+      f"| $n | $lo%.1f | $hi%.1f | **${e * 100}%.1f%%** | ${eb * 100}%.1f%% |" }.mkString("\n|")
     val md =
       f"""# BENCH — dedup/ANN scaling (local sandbox)
          |

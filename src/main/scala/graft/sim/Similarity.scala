@@ -30,8 +30,17 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(dsum(transform(a, x => x.cast("double") * x.cast("double"))))
 
-  /** Cosine similarity; 0 for zero vectors. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0 for zero vectors. Fused NATIVE expression
+    * (graft.functions.FloatCosine): the declarative HOF tree below costs a
+    * lambda dispatch per element and an allocation per array per call, and
+    * this runs once per candidate PAIR in the dedup/ANN verifies — measured
+    * as the dominant cost of q29/q30/q42. Bit-identical by construction
+    * (same IEEE add order, same combine; parity pinned by PipelineSpec). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.float_cosine(a, b)
+
+  /** The declarative HOF form of [[cosine]] — kept as the parity witness. */
+  def cosineDeclarative(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val nn = norm(a) * norm(b)
     when(nn === 0.0, 0.0).otherwise(d / nn)
@@ -51,8 +60,14 @@ object Similarity {
   def intDot(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  /** Cosine over pre-quantized long vectors; exact cross-engine. */
-  def intCosine(qa: Column, qb: Column): Column = {
+  /** Cosine over pre-quantized long vectors; exact cross-engine. Fused
+    * NATIVE expression — see [[cosine]]; integer sums are order-free, so
+    * the fusion cannot even reorder anything observable. */
+  def intCosine(qa: Column, qb: Column): Column =
+    graft.functions.VectorExpressions.int_cosine(qa, qb)
+
+  /** The declarative HOF form of [[intCosine]] — kept as the parity witness. */
+  def intCosineDeclarative(qa: Column, qb: Column): Column = {
     val d = intDot(qa, qb).cast("double")
     val nn = sqrt(intDot(qa, qa).cast("double")) * sqrt(intDot(qb, qb).cast("double"))
     when(nn === 0.0, 0.0).otherwise(d / nn)

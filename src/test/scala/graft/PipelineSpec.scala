@@ -149,6 +149,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(dups.columns.toSeq == Seq("id_a", "id_b", "cos"))
   }
 
+  test("fused cosine expressions ≡ declarative HOF forms, bit-exact (incl. degenerate shapes)") {
+    // deterministic pseudo-random vectors off range(): every 17th row a
+    // zero vector, every 23rd carries a null ELEMENT, every 31st is SHORTER
+    // than its partner — the exact degenerate shapes whose null/zero
+    // semantics the fused kernels must replicate from the HOF tree. Built
+    // from range() so nothing constant-folds away the codegen path.
+    val elem = (row: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+      when(pmod(row, lit(17)) === 0, lit(0.0f))
+        .when(pmod(row, lit(23)) === 0 && i === 3, lit(null).cast("float"))
+        .otherwise(((pmod(xxhash64(row, i), lit(2001)) - 1000) / 1000.0).cast("float"))
+    val vecOf = (row: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(0L), when(pmod(row, lit(31)) === 0, 5L).otherwise(7L)),
+        i => elem(row, i))
+    val pairs = spark.range(400)
+      .select(vecOf(col("id")).as("va"), vecOf(col("id") + 1).as("vb"))
+      .withColumn("qa", Similarity.quantize(col("va")))
+      .withColumn("qb", Similarity.quantize(col("vb")))
+    val out = pairs.select(
+      Similarity.cosine(col("va"), col("vb")).as("f_native"),
+      Similarity.cosineDeclarative(col("va"), col("vb")).as("f_decl"),
+      Similarity.intCosine(col("qa"), col("qb")).as("i_native"),
+      Similarity.intCosineDeclarative(col("qa"), col("qb")).as("i_decl")).collect()
+    assert(out.nonEmpty)
+    var checkedNull = false; var checkedZero = false
+    out.foreach { r =>
+      def v(i: Int): Option[Double] = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      assert(v(0) == v(1), s"float cosine diverged: ${v(0)} vs ${v(1)}") // exact, incl. nullness
+      assert(v(2) == v(3), s"int cosine diverged: ${v(2)} vs ${v(3)}")
+      if (v(0).isEmpty) checkedNull = true
+      if (v(0).contains(0.0)) checkedZero = true
+    }
+    assert(checkedNull && checkedZero, "fixture failed to produce the degenerate shapes")
+  }
+
   test("dedup pipeline determinism: same results at different partition counts") {
     val corpus = (0 until 60).map { i =>
       (i.toLong, (0 until 20).map(j => s"t${(i * 13 + j * 5) % 53}").mkString(" "))

@@ -442,7 +442,13 @@ object DedupScalingBench {
     val rhpBits = sys.env.getOrElse("SPARK_GRAFT_RHP_BITS",
       math.max(4, math.ceil(math.log((5000.0 * mult) / 64) / math.log(2)).toInt).toString).toInt
     val signs = Similarity.rhpSigns(rhpBits, 64)
-    val ops: Seq[(String, org.apache.spark.sql.SparkSession => DataFrame)] = Seq(
+    // optional comma-list filter: re-measure a subset at a different mult
+    // (e.g. the cheap fixed-cost-dominated ops at a corpus big enough that
+    // the low-parallelism wall dominates fixed cost). A filtered run prints
+    // JSON but does NOT overwrite BENCH/DEDUP.md — partial rows would
+    // silently replace the full table.
+    val opFilter = sys.env.get("SPARK_GRAFT_DEDUP_OPS").map(_.split(",").map(_.trim).toSet)
+    val allOps: Seq[(String, org.apache.spark.sql.SparkSession => DataFrame)] = Seq(
       "exact_dedup" -> (s => Dedup.exactDedup(docs(s))),
       "minhash_lsh" -> (s => Dedup.minhashNearDupPairs(docs(s), k = 32, bands = 8,
         minJ = 0.5, hasher = DedupHasher.production)),
@@ -465,6 +471,7 @@ object DedupScalingBench {
           .filter(col("cos") >= 0.35)
           .select(col("id_a"), col("id_b"), col("cos"))
       })
+    val ops = opFilter.fold(allOps)(f => allOps.filter(o => f.contains(o._1)))
 
     def measure(cpus: Int): Map[String, Double] = {
       val s = Bench.session(cpus, shufflePartitions = P)
@@ -508,8 +515,10 @@ object DedupScalingBench {
          ||---|---|---|---|---|
          |$table
          |""".stripMargin
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/DEDUP.md"), md)
+    if (opFilter.isEmpty) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH/DEDUP.md"), md)
+    }
     val json = rows.map { case (n, lo, hi, e, eb) =>
       f""""$n":{"sec_lo":$lo%.1f,"sec_hi":$hi%.1f,"eff":$e%.3f,"eff_best":$eb%.3f}""" }
       .mkString("{", ",", "}")

@@ -254,9 +254,18 @@ object Crawl {
     var retired: Seq[DataFrame] = Nil // frames of the last SETTLED round
     var lastRes: Option[CrawlRound.RoundResult] = None
 
+    // Every frame the loop has pinned and not yet released. Cleanup runs in
+    // the finally block over whatever is left, so an exception at ANY point
+    // of a round (compute, barrier, commit submission) releases the settled
+    // round's caches AND the half-built round's — not just the happy path's.
+    val live = scala.collection.mutable.LinkedHashSet[DataFrame]()
+    def release(dfs: Iterable[DataFrame]): Unit = dfs.foreach { df =>
+      scala.util.Try(df.unpersist()); live -= df
+    }
+
     def settle(): Unit = inFlight.foreach { f =>
       val res = Await.result(f.fut, Duration.Inf)
-      retired.foreach(_.unpersist())
+      release(retired)
       retired = f.frames
       results += res
       lastRes = Some(res)
@@ -290,13 +299,15 @@ object Crawl {
           // fetch+parse) — it overlaps the previous round's in-flight commit.
           val out = CrawlRound.run(spark, frontier, seenExact, seenState, pagesCanon,
             robotsRules, cfg, round, base, robotsSource)
+          live ++= out.persisted
           val tRun = phase("run+rank", tRound)
           val sketchNext = urlSeenPrev match {
             case Some(prev) => mergeSketches(prev, buildSketchDelta(spark, out.newKeys, cfg))
             case None => buildSketchDelta(spark, out.newKeys, cfg)
           }
-          sketchNext.persist()
+          sketchNext.persist(); live += sketchNext
           out.frontierNext.persist() // backs the write, the lineage agg AND next round's input
+          live += out.frontierNext
 
           // ---- barrier: settle round-1's commit before committing this one
           settle()
@@ -305,7 +316,7 @@ object Crawl {
             // the previous round turned out to be the drain: this round ran
             // SPECULATIVELY and is discarded uncommitted — committed state
             // stays identical to the sequential loop's.
-            (out.persisted ++ Seq(out.frontierNext, sketchNext)).foreach(_.unpersist())
+            release(out.persisted ++ Seq(out.frontierNext, sketchNext))
             continue = false
           } else {
             // capture vals for the closure: the loop vars are reassigned at
@@ -348,35 +359,60 @@ object Crawl {
             inFlight = Some(InFlight(round, fut,
               out.persisted ++ Seq(out.frontierNext, sketchNext)))
 
-            // ---- hand off state for round+1: cached output frames plus
-            // as-of reads anchored on SETTLED manifests (≤ round-1). Chains
-            // re-anchor on parquet every round, so no handed-off plan ever
-            // references caches older than one round (see frame-lifetime
-            // rule above).
-            //
-            // The cached frames cross the round boundary through an RDD hop
-            // (flat LogicalRDD over the pinned cache): a round's plan embeds
-            // its input frame several times over (eligibility, scheduled
-            // anti-join, discovery union), so chaining raw DataFrames grows
-            // the LOGICAL tree exponentially in round count — measured as a
-            // driver OOM just stringifying a 3-round tree. The hop plays the
-            // role an Iceberg table boundary plays on a real cluster; the
-            // narrow frontier/sketch rows make the Row re-encode cost noise.
-            frontier = spark.createDataFrame(out.frontierNext.rdd, out.frontierNext.schema)
-            // newKeys is hopped too: seenExact_{N+1} embeds it, and ITS plan
-            // embeds seenExact_N — an un-truncated chain recurses one full
-            // round-plan per round (the linear cousin of the exponential
-            // frontier blowup above)
-            seenExact = catalog.load(spark, "url_seen_exact", Some(round - 1)).get
-              .unionByName(spark.createDataFrame(out.newKeys.rdd, out.newKeys.schema))
-            urlSeenPrev = Some(spark.createDataFrame(sketchNext.rdd, sketchNext.schema))
-            if (cfg.robotsFetchInLoop)
-              robotsRules = out.robotsFetched match {
-                case Some(rn) =>
-                  catalog.load(spark, "robots_rules", Some(round - 1)).get
-                    .unionByName(spark.createDataFrame(rn.rdd, rn.schema))
-                case None => catalog.load(spark, "robots_rules", Some(round - 1)).get
-              }
+            if (cfg.commitPipelining) {
+              // ---- hand off state for round+1 IN MEMORY: cached output
+              // frames plus as-of reads anchored on SETTLED manifests
+              // (≤ round-1). Chains re-anchor on parquet every round, so no
+              // handed-off plan ever references caches older than one round
+              // (see frame-lifetime rule above).
+              //
+              // The cached frames cross the round boundary through an RDD hop
+              // (flat LogicalRDD over the pinned cache): a round's plan embeds
+              // its input frame several times over (eligibility, scheduled
+              // anti-join, discovery union), so chaining raw DataFrames grows
+              // the LOGICAL tree exponentially in round count — measured as a
+              // driver OOM just stringifying a 3-round tree. The hop plays the
+              // role an Iceberg table boundary plays on a real cluster; the
+              // narrow frontier/sketch rows make the Row re-encode cost noise.
+              //
+              // DURABILITY CAVEAT (cluster deployment): the hop's lineage is
+              // the pinned cache, and MEMORY_AND_DISK survives memory
+              // pressure but NOT executor loss — a lost block would silently
+              // recompute upstream plans whose range boundaries re-sample
+              // (wrong fetch_seq), the exact trap the cache pins against.
+              // Only local mode makes block loss impossible, so pipelined
+              // mode's in-memory handoff is a LOCAL-MODE/RELIABLE-STORE
+              // assumption; on a lossy cluster either run commitPipelining =
+              // false (the durable branch below — at most one commit wall per
+              // round of extra latency) or make the hop a checkpoint.
+              frontier = spark.createDataFrame(out.frontierNext.rdd, out.frontierNext.schema)
+              // newKeys is hopped too: seenExact_{N+1} embeds it, and ITS
+              // plan embeds seenExact_N — an un-truncated chain recurses one
+              // full round-plan per round (the linear cousin of the
+              // exponential frontier blowup above)
+              seenExact = catalog.load(spark, "url_seen_exact", Some(round - 1)).get
+                .unionByName(spark.createDataFrame(out.newKeys.rdd, out.newKeys.schema))
+              urlSeenPrev = Some(spark.createDataFrame(sketchNext.rdd, sketchNext.schema))
+              if (cfg.robotsFetchInLoop)
+                robotsRules = out.robotsFetched match {
+                  case Some(rn) =>
+                    catalog.load(spark, "robots_rules", Some(round - 1)).get
+                      .unionByName(spark.createDataFrame(rn.rdd, rn.schema))
+                  case None => catalog.load(spark, "robots_rules", Some(round - 1)).get
+                }
+            } else {
+              // ---- durable handoff (synchronous mode): settle the commit
+              // just queued, then anchor EVERY cross-round frame on the
+              // committed parquet — a durable boundary each round, free of
+              // the cached-lineage caveat above (the commit already wrote
+              // these tables; the loads are lazy readers).
+              settle()
+              frontier = catalog.load(spark, "frontier").get
+              seenExact = catalog.load(spark, "url_seen_exact").get
+              urlSeenPrev = catalog.load(spark, "url_seen")
+              if (cfg.robotsFetchInLoop)
+                robotsRules = catalog.load(spark, "robots_rules").get
+            }
             base += out.fetchedCount
             if (!mapside) {
               // broadcast tier: refresh the driver map for round+1 BEFORE it
@@ -390,7 +426,6 @@ object Crawl {
                 .toMap
               phase("sketchCollect", tBar)
             }
-            if (!cfg.commitPipelining) settle()
             if (timing) System.err.println(
               f"[crawl] r$round LOOP ${(System.nanoTime() - tRound) / 1e9}%.2fs fetched=${out.fetchedCount}")
             round += 1
@@ -398,10 +433,21 @@ object Crawl {
         }
       }
       settle() // the last committed round
-    } finally commitEc.shutdown()
-    retired.foreach(_.unpersist())
-    state.sketches = sketches
-    results.toSeq
+      state.sketches = sketches
+      results.toSeq
+    } finally {
+      commitEc.shutdown()
+      // Quiesce BEFORE propagating anything: an exception mid-loop must not
+      // leave the daemon thread free to publish a manifest after the caller
+      // has already observed the failure (the caller would see round N-1 as
+      // latest, then round N's manifest would appear asynchronously). If the
+      // in-flight commit itself failed, the loop already threw from settle();
+      // the Try here only absorbs that duplicate on the error path.
+      inFlight.foreach(f => scala.util.Try(Await.result(f.fut, Duration.Inf)))
+      // release every cache the loop still pins — settled rounds' retired
+      // frames AND any half-built round's, whichever statement threw
+      release(live.toSeq)
+    }
   }
 
   final case class RecrawlResult(changed: Long, vanished: Long)

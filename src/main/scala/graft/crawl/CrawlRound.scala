@@ -14,7 +14,7 @@ import graft.sketch.{SeenFilter, SketchAgg}
  *
  *   frontier → scheme/depth filter → robots verdict (broadcast join) →
  *   host-budget window → global round budget (TakeOrdered) →
- *   host-clustered token-bucket schedule (mapPartitions) →
+ *   host-clustered+salted layout, closed-form token-bucket schedule →
  *   fetch = equi-join against the canonical corpus →
  *   parse (links + text UDFs, explode) →
  *   seen-dedup of discoveries (Bloom negative-test + exact anti-join) →
@@ -96,6 +96,28 @@ object CrawlRound {
   private def priorityOrder: Seq[Column] = Seq(col("priority").asc)
 
   def partitionIdOf(c: Column, p: Int): Column = pmod(xxhash64(c), lit(p)).cast("int")
+
+  /** Politeness layout (op 47): repartition on (host, salt) where
+    * salt = (host_rank−1) / hostSaltThreshold. Hosts at or under the
+    * threshold get salt ≡ 0 — plain host clustering; a Zipf-hot host chunks
+    * into threshold-sized salt groups spread across partitions, so no
+    * partition ever owns more than `threshold` rows of one host. Legal only
+    * because the round's schedule is the stateless closed form over
+    * host_rank ([[TokenBucket.offsetByRank]]) — a split host's rows still
+    * receive globally-correct offsets. Requires a `host_rank` column.
+    *
+    * The shuffle keys on the RAW (host, salt) tuple: `repartition(P, expr)`
+    * runs the expression through HashPartitioning's own hash anyway, so a
+    * pre-computed `pmod(xxhash64(...), P)` key would be hashed AGAIN —
+    * collapsing P already-uniform ids onto ~0.63·P partitions (birthday
+    * collisions of 8 ids in 8 buckets, measured as the salted layout coming
+    * out LUMPIER than the plain one). State-table alignment does not apply
+    * here (politeness partitioning is host-keyed, unlike the canon_url
+    * bucketing shared with url_seen), so the natural key is correct. */
+  def politenessLayout(cands: DataFrame, cfg: CrawlConfig): DataFrame = {
+    val salt = floor((col("host_rank") - 1) / cfg.hostSaltThreshold).cast("int")
+    cands.repartition(cfg.numPartitions, col("host"), salt)
+  }
 
   /** Canonicalize + dedup the raw corpus into the fetchable form: one row
     * per canon_url, latest warc_ts wins (as-of, SURVEY op 29). Run once at
@@ -249,25 +271,35 @@ object CrawlRound {
       if (cfg.roundBudget == Int.MaxValue) inBudget
       else inBudget.orderBy(priorityCol.asc).limit(cfg.roundBudget)
 
-    // ---- 5. politeness: host-clustered token bucket (ops 47/48).
-    // Host co-location: when the global budget was skipped, the window in
-    // step 3 already hash-partitioned by host and nothing since has
-    // re-shuffled — reuse that partitioning (AQE may coalesce partitions,
-    // which merges hosts but never splits one). The explicit salted
-    // repartition is only needed after the budget's TakeOrdered collapsed
-    // partitioning (or for hot-host salting at the extreme design point).
+    // ---- 5. politeness: host-clustered, hot-host-SALTED layout + the
+    // closed-form token-bucket schedule (ops 47/48).
+    //
+    // The schedule itself is the stateless closed form over host_rank
+    // (TokenBucket.offsetByRank ≡ the stateful bucket, property-asserted by
+    // CrawlSpec; host_rank is exactly the within-host arrival rank the
+    // stateful form would see — HostTopK and the window both rank by
+    // (depth, discovery_round, canon_url), and the global round budget only
+    // ever takes a PREFIX of each host's rank order, since within a host the
+    // priority order equals the rank order). Statelessness is what makes the
+    // salt legal: a split host's rows still get globally-correct offsets.
+    //
+    // Layout: when the global budget was skipped, step 3's aggregate already
+    // hash-partitioned by host and nothing since has re-shuffled — reuse
+    // that partitioning (hot-host rows there are bounded by hostBudget, the
+    // pre-shuffle cap). After the budget's TakeOrdered collapsed
+    // partitioning, repartition on (host, salt): salt = (host_rank-1) /
+    // hostSaltThreshold is 0 for every host under the threshold (plain host
+    // clustering, byte-identical layout semantics) and chunks a Zipf-hot
+    // host across partitions in threshold-sized groups — one host can no
+    // longer own a straggler partition (SURVEY op 47's exact shape).
     val clustered =
       if (cfg.roundBudget == Int.MaxValue)
         scheduledCand.select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
           col("discovery_round"), col("host_rank"))
-      else scheduledCand
-        .select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
-          col("discovery_round"), col("host_rank"))
-        .repartition(cfg.numPartitions, partitionIdOf(col("host"), cfg.numPartitions))
-    val cands = clustered
-      .sortWithinPartitions(col("host"), col("depth"), col("discovery_round"), col("canon_url"))
-      .as[Candidate]
-    val scheduled = TokenBucket.schedule(cands, cfg.burst, cfg.ratePerSec).toDF()
+      else politenessLayout(
+        scheduledCand.select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
+          col("discovery_round"), col("host_rank")), cfg)
+    val scheduled = TokenBucket.scheduleByRank(clustered, cfg.burst, cfg.ratePerSec)
     scheduled.persist() // reused by the fetch join AND the frontier anti-join
 
     // ---- 6. fetch = equi-join vs canonical corpus (op 27); left_outer keeps 404s

@@ -1,6 +1,7 @@
 package graft.crawl
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
 
 /**
  * Per-host token-bucket politeness scheduler (SURVEY.md op 48) as a typed
@@ -38,6 +39,33 @@ object TokenBucket {
       }
     }
   }
+
+  /** The stateful bucket's schedule as a CLOSED-FORM column: once the burst
+    * is consumed the bucket always refills from exactly 0 tokens, so every
+    * subsequent fetch waits the same integral `ceil(1000/rate)` ms and
+    *
+    *   offset_ms(host_rank) = max(0, host_rank − burst) · ceil(1000/rate)
+    *
+    * (1-based host_rank) equals [[Bucket.next]]'s accumulation step for
+    * step. Equivalence with [[schedule]] is property-asserted by CrawlSpec.
+    *
+    * This form is a pure per-row projection (codegen'd, no mapPartitions
+    * boundary) and — the scale point — STATELESS: it needs no host
+    * contiguity, so a Zipf-hot host's candidates can be salted across
+    * partitions (op 47) while every row still receives its globally-correct
+    * politeness offset. The stateful [[schedule]] remains the general
+    * primitive (it extends to variable per-host rates / per-fetch costs,
+    * where no closed form exists). */
+  def offsetByRank(hostRank: org.apache.spark.sql.Column, burst: Int,
+      ratePerSec: Double): org.apache.spark.sql.Column =
+    greatest(lit(0L), (hostRank - burst).cast("long")) *
+      lit(math.ceil(1000.0 / ratePerSec).toLong)
+
+  /** [[schedule]]'s closed form over a frame carrying `host_rank`: appends
+    * `scheduled_offset_ms`. No layout requirement (see [[offsetByRank]]). */
+  def scheduleByRank(cands: DataFrame, burst: Int, ratePerSec: Double): DataFrame =
+    cands.withColumn("scheduled_offset_ms",
+      offsetByRank(col("host_rank"), burst, ratePerSec))
 
   /** Candidates → Scheduled. Input MUST be host-clustered and host-sorted
     * within each partition (see class doc). */

@@ -54,6 +54,17 @@ final case class CrawlConfig(
     roundBudget: Int = 2048,
     ratePerSec: Double = 2.0,
     burst: Int = 4,
+    // Hot-host salting threshold (op 47): the politeness repartition keys on
+    // (host, (host_rank-1)/threshold), so a host with ≤ threshold scheduled
+    // candidates lands in ONE partition (salt ≡ 0, plain host clustering)
+    // while a Zipf-hot host spreads across ⌈n/threshold⌉ salt groups — no
+    // partition ever owns more than `threshold` rows of one host. Offsets
+    // stay globally correct because the round schedules by the closed-form
+    // rank function (TokenBucket.offsetByRank), which is stateless. The salt
+    // only triggers when hostBudget (which caps host_rank BEFORE the
+    // shuffle) exceeds it — i.e. when the budget alone no longer bounds the
+    // straggler.
+    hostSaltThreshold: Int = 4096,
     numPartitions: Int = 32,
     bloomFpp: Double = 0.01,
     bloomExpectedPerPartition: Long = 1 << 16,

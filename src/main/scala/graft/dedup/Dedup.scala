@@ -137,21 +137,27 @@ object Dedup {
     * `blockCap` documents is DROPPED from the pair join — all-pairs is the
     * verification primitive, and a degenerate block (adversarial
     * all-identical junk; q27's LSH `bucketCap` is the same guard one stage
-    * earlier) would re-create the n² scan blocking exists to prevent. The
-    * cap is never silent: [[blockStats]] reports every block's cardinality
-    * and whether the cap excluded it — pipelines surface that census next
-    * to the pairs (q43). Unblocked discovery at scale is minhash/simhash. */
+    * earlier) would re-create the n² scan blocking exists to prevent.
+    * Truncation is OPT-IN: the default (`Int.MaxValue`) drops nothing, so a
+    * caller's result set never shrinks because a default changed under it —
+    * scale-sensitive call sites pass an explicit cap as a visible decision
+    * (q26 does), and surface the [[blockStats]] census next to the pairs
+    * (q43) so a dropped block is never silent. Unblocked discovery at scale
+    * is minhash/simhash. */
   def ngramJaccardPairs(
       docs: DataFrame,
       blockCol: String,
       minJ: Double,
       idCol: String = "doc_id",
       textCol: String = "text",
-      blockCap: Int = 1000): DataFrame = {
+      blockCap: Int = Int.MaxValue): DataFrame = {
     val withSh = withShingles(docs, idCol, textCol, keep = Seq(blockCol))
-    val keptBlocks = docs.groupBy(col(blockCol))
-      .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") <= blockCap).drop("n_docs")
-    val capped = withSh.join(keptBlocks, Seq(blockCol), "left_semi")
+    val capped =
+      if (blockCap == Int.MaxValue) withSh // uncapped: no census aggregate, no semi join
+      else withSh.join(
+        docs.groupBy(col(blockCol))
+          .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") <= blockCap).drop("n_docs"),
+        Seq(blockCol), "left_semi")
     val a = capped.select(col(blockCol), col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = capped.select(col(blockCol), col(idCol).as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")

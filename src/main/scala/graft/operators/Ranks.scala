@@ -41,10 +41,14 @@ object Ranks {
     * boundaries, so offsets computed by pass 1 would mis-align with pass
     * 2's partitions (measured: ~87% wrong ranks at 60k rows). Caching pins
     * one materialization that both passes read — it is a CORRECTNESS
-    * requirement, not an option. Callers that loop (the crawl) must
-    * unpersist the second frame once the first is materialized;
-    * [[globalSeq]] registers a one-shot listener that unpersists after the
-    * next query over the ranked frame completes. */
+    * requirement, not an option. The ranked frame is only stable while the
+    * sorted intermediate stays pinned, so the pin is the CALLER's to manage,
+    * explicitly: consume (or persist) the ranked frame, then unpersist the
+    * returned sorted frame. (An earlier self-cleaning variant unpersisted
+    * via a QueryExecutionListener after the first consuming query — which
+    * made a second consumption silently recompute with re-sampled range
+    * boundaries and return wrong ranks. A silent-wrong failure mode is worse
+    * than an explicit contract; the variant was removed.) */
   def globalSeqCached(
       df: DataFrame,
       seqCol: String,
@@ -90,37 +94,19 @@ object Ranks {
     (out, sorted, counts.values.sum)
   }
 
-  /** Consume-once convenience over [[globalSeqCached]]: the ranked frame is
-    * only stable while the sorted intermediate stays pinned, so this variant
-    * registers a listener that unpersists it after the first completed query
-    * that actually SCANNED that cache (i.e. the caller's consumption of the
-    * ranked frame — an unrelated interleaved query must not trigger the
-    * cleanup, or a later consumption would re-sample range boundaries against
-    * stale offsets). Callers that consume the output more than once should
-    * use [[globalSeqCached]] and manage the pin themselves. */
-  def globalSeq(df: DataFrame, seqCol: String, order: Seq[Column], numPartitions: Int): DataFrame = {
+  /** Re-consumable ranked frame: pins the RANKED OUTPUT itself, forces it,
+    * and releases the sort intermediate — the result is then stable across
+    * any number of consumptions (no listener, no consume-once trap). The
+    * output cache is the caller's to unpersist when done; callers that
+    * consume exactly once and want zero residual cache should use
+    * [[globalSeqCached]] and manage both frames themselves (the crawl loop
+    * does). */
+  def globalSeqPinned(
+      df: DataFrame, seqCol: String, order: Seq[Column], numPartitions: Int): DataFrame = {
     val (out, sorted) = globalSeqCached(df, seqCol, order, numPartitions)
-    val spark = df.sparkSession
-    val sortedPlan = sorted.queryExecution.analyzed
-    val listener: org.apache.spark.sql.util.QueryExecutionListener =
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        private def touchesCache(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
-          try qe.executedPlan.collect {
-            case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-                if s.relation.cachedPlan.logicalLink.exists(_.sameResult(sortedPlan)) => s
-          }.nonEmpty
-          catch { case _: Throwable => false } // best-effort: a miss only delays cleanup
-        private def done(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-          if (touchesCache(qe)) {
-            sorted.unpersist(blocking = false)
-            spark.listenerManager.unregister(this)
-          }
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = done(qe)
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = done(qe)
-      }
-    spark.listenerManager.register(listener)
-    out
+    val pinned = out.persist()
+    pinned.count() // force while the sort cache is still valid
+    sorted.unpersist()
+    pinned
   }
 }

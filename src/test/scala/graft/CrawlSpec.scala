@@ -68,6 +68,70 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("token bucket: closed-form scheduleByRank ≡ stateful schedule (incl. non-integral 1000/rate)") {
+    import spark.implicits._
+    for (rate <- Seq(2.0, 3.0, 7.5); burst <- Seq(1, 4)) {
+      // 3 hosts, different candidate counts; host-clustered + host-sorted
+      // layout so the stateful form's arrival rank equals host_rank
+      val cands = (for {
+        h <- 0 until 3
+        i <- 0 until (10 + h * 15)
+      } yield Candidate(f"https://h$h.com/p$i%03d", s"h$h.com", s"com.h$h", 0, 0, i + 1))
+        .toDS().repartition(2, col("host"))
+        .sortWithinPartitions(col("host"), col("canon_url"))
+      val stateful = TokenBucket.schedule(cands.as[Candidate], burst, rate).toDF()
+        .select("canon_url", "scheduled_offset_ms").as[(String, Long)].collect().toMap
+      val closed = TokenBucket.scheduleByRank(cands.toDF(), burst, rate)
+        .select("canon_url", "scheduled_offset_ms").as[(String, Long)].collect().toMap
+      assert(stateful == closed, s"closed form diverged at rate=$rate burst=$burst")
+    }
+  }
+
+  test("op 47: threshold salting flattens a Zipf-hot host; the schedule is layout-invariant") {
+    import spark.implicits._
+    // adversarial head: ONE host owns 50% of the scheduled candidates
+    val hot = (1 to 4000).map(i => (f"https://hot.com/p$i%05d", "hot.com", "com.hot", 0, 0, i))
+    val cold = for { h <- 1 to 40; i <- 1 to 100 }
+      yield (f"https://c$h.com/p$i%05d", s"c$h.com", s"com.c$h", 0, 0, i)
+    val cands = (hot ++ cold)
+      .toDF("canon_url", "host", "host_rev", "depth", "discovery_round", "host_rank")
+    val plain = cfg.copy(numPartitions = 8, hostSaltThreshold = Int.MaxValue)
+    val salted = cfg.copy(numPartitions = 8, hostSaltThreshold = 512)
+    def maxPartitionRows(c: CrawlConfig): Long =
+      CrawlRound.politenessLayout(cands, c)
+        .groupBy(spark_partition_id()).count()
+        .agg(max(col("count"))).head().getLong(0)
+    val maxPlain = maxPartitionRows(plain)
+    val maxSalted = maxPartitionRows(salted)
+    // unsalted: the hot host serializes through one partition (the straggler)
+    assert(maxPlain >= 4000, s"expected the hot host in one partition, max=$maxPlain")
+    // salted: 512-row chunks spread — per-partition load flattens toward the
+    // 1000-row uniform share (8000 rows / 8 partitions)
+    assert(maxSalted * 2 <= maxPlain, s"salt did not flatten: $maxSalted vs $maxPlain")
+    assert(maxSalted <= 2500, s"salted straggler too large: $maxSalted")
+    // and the politeness schedule itself is identical across layouts —
+    // statelessness of the closed form is what makes the salt legal
+    def sched(c: CrawlConfig): Set[(String, Long)] =
+      TokenBucket.scheduleByRank(CrawlRound.politenessLayout(cands, c), c.burst, c.ratePerSec)
+        .select("canon_url", "scheduled_offset_ms").as[(String, Long)].collect().toSet
+    assert(sched(plain) == sched(salted), "schedule changed under salting")
+  }
+
+  test("bloom FPR accounting: measured in-loop FPR ≤ 2× configured fpp") {
+    // closes the loop between SketchSpec's unit FPR property and the live
+    // crawl: per-round lineage already counts discovered / bloom_might /
+    // enqueued, so the loop's own metrics bound the realized FPR.
+    //   false positives  = enqueued − (discovered − bloom_might)  [verifiedNew]
+    //   actually-new set = discovered − deduped_exact             [bloom-tested negatives]
+    val (_, results, _) = runCrawl(tmp(), 1000, 8, 3)
+    val fp = results.map(r => r.enqueued - r.dedupedBloomDefinite).sum
+    val tested = results.map(r => r.discovered - r.dedupedExact).sum
+    assert(tested > 100, s"fixture too small to measure FPR (tested=$tested)")
+    val fpr = fp.toDouble / tested
+    assert(fpr <= 2 * cfg.bloomFpp,
+      f"measured in-loop bloom FPR $fpr%.5f exceeds 2× configured ${cfg.bloomFpp}")
+  }
+
   test("robots: no fetched URL violates its host's rules") {
     val (catalog, _, uni) = runCrawl(tmp(), 1000, 8, 3)
     val log = Crawl.fullFetchLog(spark, catalog)

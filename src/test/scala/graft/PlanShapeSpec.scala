@@ -134,17 +134,25 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("globalSeq distributes: no single-partition window exchange") {
     val df = spark.range(1000).select(col("id"), pmod(col("id"), lit(97)).as("k"))
-    val ranked = graft.operators.Ranks.globalSeq(df, "seq", Seq(col("k").asc, col("id").asc), 8)
-    // correctness vs the single-partition semantic
-    val rows = ranked.orderBy("seq").select("k", "id", "seq").collect()
-    val expected = df.collect().map(r => (r.getLong(1), r.getLong(0)))
-      .sortBy(identity).zipWithIndex
-    rows.zip(expected).foreach { case (r, ((k, id), i)) =>
-      assert(r.getLong(0) == k && r.getLong(1) == id && r.getLong(2) == i.toLong)
-    }
-    // and the plan must not contain a SinglePartition window
-    val plan = physical(ranked)
-    assert(!plan.contains("Window"), s"globalSeq must not use a window: $plan")
+    val (ranked, sorted) = graft.operators.Ranks.globalSeqCached(
+      df, "seq", Seq(col("k").asc, col("id").asc), 8)
+    try {
+      // the plan must not contain a SinglePartition window (check before
+      // consumption so the assertion sees the compute plan, not a cache scan)
+      val plan = physical(ranked)
+      assert(!plan.contains("Window"), s"globalSeq must not use a window: $plan")
+      // correctness vs the single-partition semantic — RE-CONSUMED twice to
+      // pin the explicit-pin contract: both reads see identical ranks while
+      // the sorted intermediate stays persisted
+      val expected = df.collect().map(r => (r.getLong(1), r.getLong(0)))
+        .sortBy(identity).zipWithIndex
+      (1 to 2).foreach { _ =>
+        val rows = ranked.orderBy("seq").select("k", "id", "seq").collect()
+        rows.zip(expected).foreach { case (r, ((k, id), i)) =>
+          assert(r.getLong(0) == k && r.getLong(1) == id && r.getLong(2) == i.toLong)
+        }
+      }
+    } finally sorted.unpersist()
   }
 
   test("fetch join consumes the corpus cache merge-ready: no per-round Sort or Exchange") {

@@ -117,6 +117,20 @@ class CrawlSpec extends AnyFunSuite {
     assert(sched(plain) == sched(salted), "schedule changed under salting")
   }
 
+  test("salting end-to-end: an aggressive threshold leaves the committed crawl byte-identical") {
+    // hostSaltThreshold=2 forces the salt to actually trigger (every host
+    // with >2 scheduled candidates splits) through the FULL loop — the
+    // committed fetch_log must not notice: offsets are closed-form over
+    // host_rank and fetch_seq ranks by priority, both layout-independent.
+    val (catA, _, _) = runCrawl(tmp(), 600, 6, 3)
+    val (catB, _, _) = runCrawl(tmp(), 600, 6, 3, cfg.copy(hostSaltThreshold = 2))
+    val proj = Seq("fetch_seq", "canon_url", "status", "scheduled_offset_ms", "text_sha256")
+    val a = Crawl.fullFetchLog(spark, catA).orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    val b = Crawl.fullFetchLog(spark, catB).orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    assert(a.length == b.length && a.sameElements(b),
+      "salted politeness layout changed the committed crawl")
+  }
+
   test("bloom FPR accounting: measured in-loop FPR ≤ 2× configured fpp") {
     // closes the loop between SketchSpec's unit FPR property and the live
     // crawl: per-round lineage already counts discovered / bloom_might /

@@ -451,8 +451,9 @@ object DedupScalingBench {
     val allOps: Seq[(String, org.apache.spark.sql.SparkSession => DataFrame)] = Seq(
       "exact_dedup" -> (s => Dedup.exactDedup(docs(s))),
       "minhash_lsh" -> (s => Dedup.minhashNearDupPairs(docs(s), k = 32, bands = 8,
-        minJ = 0.5, hasher = DedupHasher.production)),
-      "simhash_pigeonhole" -> (s => Dedup.simhashNearDupPairs(docs(s), maxDist = 3)),
+        minJ = 0.5, hasher = DedupHasher.production, kernel = true)),
+      "simhash_pigeonhole" -> (s => Dedup.simhashNearDupPairs(docs(s), maxDist = 3,
+        hasher = DedupHasher.production, kernel = true)),
       "embedding_rhp_lsh" -> { s =>
         // explicit bucket repartition BEFORE the self-join: the join's
         // input shuffle is tiny (200k × ~80 B) so AQE coalesces it to ~1

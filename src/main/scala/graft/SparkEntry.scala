@@ -388,7 +388,10 @@ object SparkEntry {
     }),
 
     "q28_simhash" -> ((s, d) => {
-      Dedup.simhashNearDupPairs(docsWithDups(s, d), maxDist = 3)
+      // kernel = true: the one-pass JVM sketch build — bit-identical to the
+      // declarative explode+agg form the oracle mirrors (PipelineSpec
+      // asserts parity for the crossEngine hasher used here)
+      Dedup.simhashNearDupPairs(docsWithDups(s, d), maxDist = 3, kernel = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -556,6 +559,17 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       Similarity.ivfAssign(e, e.filter(col("vec_id") < 8))
         .orderBy(col("vec_id"))
+    }),
+
+    "q44_ivf_search" -> ((s, d) => {
+      // Full IVF search: 20 queries rank the 8 centroids, probe their 2
+      // nearest cells' posting lists, brute-force only inside them (bounded
+      // VecTopKAgg reduction). Integer-quantized cosine end-to-end ⇒ the
+      // oracle reproduces assignment, probe choice and ranking exactly.
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8),
+          e.filter(col("vec_id") >= 8 && col("vec_id") < 28), k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     "q38_salted_join" -> ((s, d) => {
@@ -1019,6 +1033,33 @@ object SparkEntry {
          |r AS (SELECT vec_id, cell_id, cos,
          |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn FROM sc)
          |SELECT vec_id, cell_id, cos FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q44_ivf_search" ->
+      s"""WITH e AS (SELECT vec_id, ${sqlQv("embedding")} AS qv FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, qv AS cv FROM e WHERE vec_id < 8),
+         |asg0 AS (SELECT e.vec_id, cell_id, ${sqlIntCos("e.qv", "cent.cv")} AS cos
+         | FROM e CROSS JOIN cent),
+         |asg AS (SELECT vec_id, cell_id FROM (
+         |  SELECT vec_id, cell_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell_id) AS rn
+         |  FROM asg0) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, qv FROM e WHERE vec_id >= 8 AND vec_id < 28),
+         |pr0 AS (SELECT query_id, cell_id, q.qv, ${sqlIntCos("q.qv", "cent.cv")} AS qcos
+         | FROM q CROSS JOIN cent),
+         |probes AS (SELECT query_id, cell_id, qv FROM (
+         |  SELECT query_id, cell_id, qv,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cell_id) AS rn
+         |  FROM pr0) WHERE rn <= 2),
+         |sc AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |  ${sqlIntCos("p.qv", "c.qv")} AS cos
+         | FROM probes p JOIN asg a ON a.cell_id = p.cell_id
+         | JOIN e c ON c.vec_id = a.vec_id
+         | WHERE a.vec_id <> p.query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         | FROM sc)
+         |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cos
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q29_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, ${sqlQv("embedding")} AS qv FROM embeddings),

@@ -26,7 +26,16 @@ import graft.text.TextAnalysis
 final case class DedupHasher(
     base: Column => Column,
     seed: Column => Column,
-    permute: (Column, Int) => Column)
+    permute: (Column, Int) => Column,
+    /** JVM mirror of `base` for kernel paths (one-pass per-document loops
+      * that hash inside the kernel instead of exploding rows) — must be
+      * bit-identical to the column form; asserted by PipelineSpec. */
+    baseJvm: String => Long,
+    /** JVM mirror of `seed`: the (h1, h2) digest pair (h2 unused by
+      * single-digest families). Bit-identical to the column form. */
+    seedJvm: String => (Long, Long),
+    /** JVM mirror of `permute` over a [[seedJvm]] pair. */
+    permuteJvm: (Long, Long, Int) => Long)
 
 object DedupHasher {
   import graft.functions.Hash64
@@ -39,7 +48,10 @@ object DedupHasher {
     seed = c => struct(
       Hash64.h64(c).as("h1"),
       Hash64.h64(concat(lit(Hash64.Km2Prefix), c)).as("h2")),
-    permute = (s, i) => Hash64.permutePair(s.getField("h1"), s.getField("h2"), i))
+    permute = (s, i) => Hash64.permutePair(s.getField("h1"), s.getField("h2"), i),
+    baseJvm = Hash64.h64Jvm,
+    seedJvm = s => (Hash64.h64Jvm(s), Hash64.h64Jvm(Hash64.Km2Prefix + s)),
+    permuteJvm = Hash64.permutePairJvm)
 
   /** xxhash64-based production family: one xxhash64 digest, permutations by
     * re-mixing the LONG with the permutation index (cheap, codegen'd —
@@ -47,7 +59,28 @@ object DedupHasher {
   val production: DedupHasher = DedupHasher(
     base = c => xxhash64(c),
     seed = c => xxhash64(c),
-    permute = (h, i) => if (i == 0) h else xxhash64(h, lit(i)))
+    permute = (h, i) => if (i == 0) h else xxhash64(h, lit(i)),
+    // Spark's xxhash64 = XXH64(utf8 bytes, seed 42) — the public static
+    // entry point computes the identical value on a JVM String
+    baseJvm = DedupHasher.xxString,
+    seedJvm = s => (DedupHasher.xxString(s), 0L),
+    // mirror of xxhash64(h: long, lit(i): int): HashExpression folds the
+    // children left-to-right, each child hashed with the running result as
+    // its seed
+    permuteJvm = (h, _, i) =>
+      if (i == 0) h
+      else {
+        import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        XxHash64Function.hash(i, IntegerType,
+          XxHash64Function.hash(h, LongType, 42L))
+      })
+
+  /** Spark-exact xxhash64 of a JVM string (UTF8 bytes, seed 42). */
+  def xxString(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
 }
 
 /**
@@ -210,6 +243,61 @@ object Dedup {
       .select(col(idCol), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** JVM minhash-signature kernel — same values as [[minhashSignatures]]
+    * (min over a multiset ≡ min over its distinct set, so the declarative
+    * form's `array_distinct` needs no mirroring), one pass per document:
+    * shingle → seed digests → k permutation values folded straight into a
+    * k-long min array. The explode+agg form pays per SHINGLE a generated
+    * row plus k aggregation-buffer updates through UnsafeRow; the kernel
+    * pays the same hashes into a stack array. Parity asserted by
+    * PipelineSpec for both hasher families. */
+  def minhashSigKernel(
+      text: String, k: Int, n: Int,
+      seedJvm: String => (Long, Long),
+      permuteJvm: (Long, Long, Int) => Long): Array[Long] = {
+    val nt = TextAnalysis.normTextJvm(text)
+    val toks = nt.split(" ", -1)
+    val mins = Array.fill(k)(Long.MaxValue)
+    def accumulate(sh: String): Unit = {
+      val (h1, h2) = seedJvm(sh)
+      var i = 0
+      while (i < k) {
+        val v = permuteJvm(h1, h2, i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var s = 0
+      while (s <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(s + j))
+          j += 1
+        }
+        accumulate(sb.toString)
+        s += 1
+      }
+    } else accumulate(nt)
+    mins
+  }
+
+  /** Column form of [[minhashSigKernel]]: (id, sig) — same output as
+    * [[minhashSignatures]]. Null text drops the row, matching the
+    * declarative explode-over-null behavior. */
+  def minhashSignaturesKernel(
+      docs: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text",
+      hasher: DedupHasher = DedupHasher.crossEngine, n: Int = 3): DataFrame = {
+    val seedJvm = hasher.seedJvm
+    val permuteJvm = hasher.permuteJvm
+    val f = udf((s: String) => minhashSigKernel(s, k, n, seedJvm, permuteJvm))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), f(col(textCol)).as("sig"))
+  }
+
   /** LSH banding: candidate pairs = docs agreeing on at least one band of
     * `rowsPerBand` consecutive signature slots. Distinct (id_a < id_b). */
   def lshCandidatePairs(
@@ -247,9 +335,11 @@ object Dedup {
       minJ: Double = 0.5,
       idCol: String = "doc_id",
       textCol: String = "text",
-      hasher: DedupHasher = DedupHasher.crossEngine): DataFrame = {
+      hasher: DedupHasher = DedupHasher.crossEngine,
+      kernel: Boolean = false): DataFrame = {
     require(k % bands == 0, "k must divide into bands evenly")
-    val sigs = minhashSignatures(docs, k, idCol, textCol, hasher)
+    val sigs = if (kernel) minhashSignaturesKernel(docs, k, idCol, textCol, hasher)
+               else minhashSignatures(docs, k, idCol, textCol, hasher)
     val cands = lshCandidatePairs(sigs, bands, k / bands, idCol, hasher = hasher)
     val sh = withShingles(docs, idCol, textCol)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
@@ -288,15 +378,67 @@ object Dedup {
     agg.select(col(idCol), sketch.as("simhash"))
   }
 
+  /** JVM simhash kernel — bit-identical to [[simhash64]]'s explode+agg
+    * build (PipelineSpec asserts it for both hasher families) but one tight
+    * pass per document: no row fanout, no 60-column aggregation buffer, no
+    * shuffle at all for the sketch build. The explode form pays per TOKEN a
+    * generated output row, a hash-map probe and 60 UnsafeRow buffer
+    * updates; the kernel pays one hash and a 60-int loop on a stack array.
+    * Same discipline as [[graft.text.TextAnalysis.winnowKernel]]: the
+    * declarative form is the oracle-checked semantics, the kernel is the
+    * bandwidth-right evaluation of exactly that semantics. */
+  def simhashKernel(text: String, hashTok: String => Long): Long = {
+    // EXACT mirror of explode(split(normText(text), " ")): normalized text
+    // splits on single spaces; an empty normalization yields ONE "" token.
+    val nt = TextAnalysis.normTextJvm(text)
+    val counts = new Array[Int](SimhashBits)
+    val n = nt.length
+    var start = 0
+    while (start <= n) { // `<=`: the final (or only, possibly empty) token
+      val sp = nt.indexOf(' ', start)
+      val end = if (sp < 0) n else sp
+      val h = hashTok(nt.substring(start, end))
+      var j = 0
+      while (j < SimhashBits) {
+        counts(j) += ((((h >>> j) & 1L) << 1) - 1L).toInt
+        j += 1
+      }
+      start = end + 1
+    }
+    var sketch = 0L
+    var j = 0
+    while (j < SimhashBits) {
+      if (counts(j) > 0) sketch |= 1L << j
+      j += 1
+    }
+    sketch
+  }
+
+  /** Column form of [[simhashKernel]]: (id, simhash) — same output as
+    * [[simhash64]]. Null text drops the row, matching the declarative
+    * form's explode-over-null behavior. */
+  def simhash64Kernel(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      hasher: DedupHasher = DedupHasher.crossEngine): DataFrame = {
+    val hashTok = hasher.baseJvm
+    val f = udf((s: String) => simhashKernel(s, hashTok))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), f(col(textCol)).as("simhash"))
+  }
+
   /** Near-dup pairs with hamming(simhash) ≤ maxDist via pigeonhole: split
     * the 60-bit sketch into (maxDist+1) chunks — any pair within distance d
     * agrees exactly on ≥1 chunk, so an equi-join on (chunk_idx, chunk_val)
-    * finds all of them without an n² scan. */
+    * finds all of them without an n² scan. `kernel = true` builds the
+    * sketches through [[simhash64Kernel]] (the scale path); the default
+    * declarative build is what the DuckDB oracle mirrors. */
   def simhashNearDupPairs(
-      docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id", textCol: String = "text",
+      hasher: DedupHasher = DedupHasher.crossEngine,
+      kernel: Boolean = false): DataFrame = {
     val nChunks = maxDist + 1
     val width = SimhashBits / nChunks
-    val sk = simhash64(docs, idCol, textCol)
+    val sk = if (kernel) simhash64Kernel(docs, idCol, textCol, hasher)
+             else simhash64(docs, idCol, textCol, hasher)
     val chunked = sk.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
         val shift = c * width

@@ -107,6 +107,17 @@ object Hash64 {
     * paths (winnowing UDF) that hash inside partition loops. */
   def h64Jvm(s: String): Long =
     h64Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** JVM mirror of [[permutePair]] — identical 30/30-split arithmetic, so
+    * every intermediate stays below 2^62 (values, not semantics, are what
+    * the split protects on the SQL side; here it keeps the two forms
+    * literally the same expression). */
+  def permutePairJvm(h1: Long, h2: Long, i: Int): Long =
+    if (i == 0) h1
+    else {
+      val mid = (i.toLong * (h2 >>> 30)) & Mask30
+      (h1 + i.toLong * (h2 & Mask30) + (mid << 30)) % Mod60
+    }
 }
 
 /** The cross-engine 60-bit hash as a NATIVE codegen'd expression:

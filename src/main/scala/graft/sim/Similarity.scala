@@ -221,6 +221,43 @@ object Similarity {
       .select(col(idCol), col("cell_id"), col("cos"))
   }
 
+  /**
+   * Full IVF search (the coarse-quantizer scale path end-to-end): each query
+   * ranks the centroids, probes the `nProbe` nearest cells' posting lists,
+   * and brute-forces ONLY inside them, reduced through the bounded
+   * [[VecTopKAgg]]. At the design point the posting lists are the
+   * `(cell_id, vec_id, qv)` table [[ivfAssign]] materializes at ingest,
+   * hash-partitioned by cell — a query is then a partition-pruned scan of
+   * nProbe cells (corpus/nCells rows each), never the full corpus. All
+   * scoring is the integer-quantized cosine, so the whole search has an
+   * exact DuckDB oracle; recall vs [[bruteForceTopK]] is measured by spec.
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val posting = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("cell_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
+        Seq("neighbor_id"))
+    val cent = centroids.select(col(idCol).as("cell_id"), quantize(col(vecCol)).as("centroid"))
+    val qScored = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+      .join(broadcast(cent))
+      .withColumn("qcos", intCosine(col("qv"), col("centroid")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cell_id").asc)
+    val probes = qScored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cell_id"), col("qv"))
+    val scored = posting.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", intCosine(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
   // --- exact-arithmetic LSH ANN (oracle-able) -------------------------------
 
   /** Deterministic ±1 Rademacher hyperplane components, data-independent:

@@ -178,12 +178,16 @@ object TextAnalysis {
     * a deterministic UDF beats built-in higher-order functions — the
     * interpreted `transform`/`slice` chain costs ~50 ms/doc. Parity with
     * the declarative form (and the DuckDB oracle) is asserted by spec. */
+  /** EXACT [[normText]] mirror for JVM kernel paths: lower, \s+ → ' ', trim
+    * (corpus is ASCII-safe; both engines' lower() agree on the full BMP
+    * anyway for our fixtures). Parity with the column form is asserted by
+    * every kernel ≡ declarative spec that goes through it. */
+  def normTextJvm(text: String): String =
+    text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ").trim
+
   def winnowKernel(text: String, k: Int = 8, w: Int = 16): Array[Long] = {
     if (text == null) return Array.empty
-    // EXACT normText mirror: lower, \s+ → ' ', trim (corpus is ASCII-safe;
-    // both engines' lower() agree on the full BMP anyway for our fixtures)
-    val nt = text.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("\\s+", " ").trim
+    val nt = normTextJvm(text)
     val nGrams = math.max(nt.length - (k - 1), 1)
     val grams = new Array[Long](nGrams)
     var i = 0

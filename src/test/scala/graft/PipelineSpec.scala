@@ -213,6 +213,75 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash kernel ≡ declarative explode+agg build, both hasher families") {
+    val texts = Seq(
+      "",
+      "   ",
+      "one",
+      "The quick   brown fox JUMPS over the lazy dog",
+      "der hund und die katze " * 20,
+      (0 until 300).map(i => s"tok${(i * 53) % 127}").mkString(" "))
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (h <- Seq(dedup.DedupHasher.crossEngine, dedup.DedupHasher.production)) {
+      val declarative = Dedup.simhash64(d, hasher = h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kernel = Dedup.simhash64Kernel(d, hasher = h)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      texts.indices.foreach { i =>
+        assert(kernel(i.toLong) == declarative(i.toLong),
+          s"kernel/declarative simhash divergence on doc $i")
+      }
+    }
+  }
+
+  test("minhash signature kernel ≡ declarative explode+agg build, both hasher families") {
+    val texts = Seq(
+      "",
+      "one two",
+      "the quick brown fox jumps over the lazy dog",
+      "der hund und die katze " * 15,
+      (0 until 200).map(i => s"tok${(i * 31) % 89}").mkString(" "))
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (h <- Seq(dedup.DedupHasher.crossEngine, dedup.DedupHasher.production)) {
+      val declarative = Dedup.minhashSignatures(d, k = 32, hasher = h)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      val kernel = Dedup.minhashSignaturesKernel(d, k = 32, hasher = h)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      texts.indices.foreach { i =>
+        assert(kernel(i.toLong) == declarative(i.toLong),
+          s"kernel/declarative minhash divergence on doc $i")
+      }
+    }
+  }
+
+  test("IVF search: probing ALL cells ≡ exact scan; nProbe=2 recall ≥ 0.4") {
+    val vecs = (0 until 200).map { i =>
+      val v = (0 until 16).map(j => math.sin(i * 17 + j * 3).toFloat).toArray
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val centroids = vecs.filter($"vec_id" < 8)
+    val queries = vecs.filter($"vec_id" >= 8 && $"vec_id" < 18)
+    // exact baseline with the SAME integer scoring (so nProbe=8 must equal it)
+    val q = queries.select($"vec_id".as("query_id"), Similarity.quantize($"embedding").as("qq"))
+    val c = vecs.select($"vec_id".as("neighbor_id"), Similarity.quantize($"embedding").as("qc"))
+    val exact = Similarity.topKPerQuery(
+      c.join(broadcast(q)).filter($"neighbor_id" =!= $"query_id")
+        .withColumn("cos", Similarity.intCosine($"qq", $"qc")), 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val full = Similarity.ivfTopK(vecs, centroids, queries, k = 5, nProbe = 8)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(full == exact, "nProbe = nCells must reduce to the exact scan")
+    val ann = Similarity.ivfTopK(vecs, centroids, queries, k = 5, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = exact.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = truth.map { case (qid, t) =>
+      t.intersect(ann.getOrElse(qid, Set.empty)).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"IVF nProbe=2 mean recall@5 $mean below floor")
+  }
+
   test("ANN LSH: measured recall@5 vs brute force ≥ 0.6 (multiprobe, nBits=6)") {
     val vecs = (0 until 200).map { i =>
       val v = (0 until 16).map(j => math.sin(i * 17 + j * 3).toFloat).toArray

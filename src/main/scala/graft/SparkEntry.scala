@@ -8,7 +8,7 @@ import graft.crawl.{Crawl, CrawlConfig, CrawlRound, HadoopSnapshotCatalog, Fixtu
 import graft.dedup.Dedup
 import graft.functions.{CrawlUdfs, UrlExpressions}
 import graft.multimodal.Multimodal
-import graft.operators.Ranks
+import graft.operators.{LinkRank, Ranks}
 import graft.sim.Similarity
 import graft.sketch.SeenFilter
 import graft.text.TextAnalysis
@@ -572,6 +572,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    "q45_linkrank" -> ((s, d) => {
+      // link-graph rank for crawl prioritization: 3 fixed-point-integer
+      // PageRank iterations over a deterministic synthetic edge table
+      // (both engines derive identical edges arithmetically from lineitem,
+      // and integral division keeps every iteration exactly reproducible)
+      val edges = t(s, d, "lineitem").select(
+        pmod(col("l_orderkey"), lit(997L)).as("src"),
+        pmod(col("l_partkey"), lit(997L)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      LinkRank.linkRank(edges, iters = 3).orderBy(col("node"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1060,6 +1072,27 @@ object SparkEntry {
          | FROM sc)
          |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, cos
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q45_linkrank" -> {
+      // one CTE pair (gather, update) per iteration — the exact integer
+      // recurrence of LinkRank.linkRank, `//` mirroring Spark's `div`
+      def iter(i: Int): String =
+        s"""g$i AS (SELECT e.dst AS node, SUM(r.rank // o.outdeg) AS s
+           |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+           |  JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+           |r$i AS (SELECT n.node, 150000 + (COALESCE(g.s, 0) * 85) // 100 AS rank
+           |  FROM nodes n LEFT JOIN g$i g ON g.node = n.node)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+         |  FROM lineitem WHERE l_orderkey % 997 <> l_partkey % 997),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
+    },
 
     "q29_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, ${sqlQv("embedding")} AS qv FROM embeddings),

@@ -254,6 +254,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("linkrank: distributed ≡ sequential reference; invariant across partitionings") {
+    import graft.operators.LinkRank
+    // deterministic pseudo-random digraph: 120 nodes, ~480 edges, includes
+    // sinks (no out-edges) and sources (no in-edges)
+    val edges = (0 until 600).map { i =>
+      val u = (i * 37) % 120L
+      val v = (i * i * 13 + 7) % 97L // nodes 97..119 are pure sinks' sources
+      (u, v)
+    }.distinct.filter { case (u, v) => u != v }
+    val expected = LinkRank.linkRankReference(edges, iters = 3)
+    for (parts <- Seq(2, 7)) {
+      val df = edges.toDF("src", "dst").repartition(parts)
+      val got = LinkRank.linkRank(df, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"linkrank mismatch at $parts partitions")
+    }
+  }
+
   test("IVF search: probing ALL cells ≡ exact scan; nProbe=2 recall ≥ 0.4") {
     val vecs = (0 until 200).map { i =>
       val v = (0 until 16).map(j => math.sin(i * 17 + j * 3).toFloat).toArray

@@ -315,7 +315,7 @@ object ScalingBench {
          |interleaved runs per level per size (shared host — single runs
          |have a large noise floor; best-of also reported since the job is
          |deterministic and co-tenant steal only ever subtracts).
-         |Reproduce: `SPARK_DRIVER_MEM=48g SPARK_GRAFT_SCALE_PAGES=${sizes.mkString(",")} SPARK_GRAFT_SCALE_LEVELS="$pairsEnv" sbt -batch "runMain graft.ScalingBench"`.
+         |Reproduce: `SPARK_DRIVER_MEM=48g SPARK_GRAFT_SCALE_PAGES=${sizes.mkString(",")} SPARK_GRAFT_SCALE_ROUNDS=$rounds SPARK_GRAFT_SCALE_LEVELS="$pairsEnv" SPARK_GRAFT_SCALE_WRITE_MD=1 sbt -batch "runMain graft.ScalingBench"`.
          |
          |## Efficiency at N→4N cores (gate ≥80%%)
          |
@@ -374,8 +374,15 @@ object ScalingBench {
          |inverts the comparison entirely (32 parse tasks GC-thrash) —
          |build.sbt forks 24g by default, measurements here use $heap.
          |""".stripMargin
-    Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    // Partial-protocol guard (same rule as DedupScalingBench's op filter):
+    // a run that measures only a SUBSET of the committed table — e.g. one
+    // extra pairing — must not overwrite BENCH/BASELINE.md, or the partial
+    // rows silently replace the headline. Opt in with
+    // SPARK_GRAFT_SCALE_WRITE_MD=1; the JSON line below prints regardless.
+    if (sys.env.get("SPARK_GRAFT_SCALE_WRITE_MD").contains("1")) {
+      Files.createDirectories(Paths.get("BENCH"))
+      Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    }
     val curveJson = results.map(r =>
       f"""{"pages":${r.nPages},"parts":${r.parts},"lo":${r.loN},"hi":${r.hiN},"urls":${r.urls},"thr_lo":${r.thrLo}%.1f,"thr_hi":${r.thrHi}%.1f,"eff":${r.eff}%.3f,"eff_best":${r.effBest}%.3f}""")
       .mkString("[", ",", "]")

@@ -383,7 +383,11 @@ object SparkEntry {
     }),
 
     "q27_minhash_lsh" -> ((s, d) => {
-      Dedup.minhashNearDupPairs(docsWithDups(s, d), k = 32, bands = 8, minJ = 0.5)
+      // kernel = true: one-pass JVM signature build, bit-identical to the
+      // declarative explode+agg form the oracle mirrors (PipelineSpec
+      // asserts parity for the crossEngine hasher used here)
+      Dedup.minhashNearDupPairs(docsWithDups(s, d), k = 32, bands = 8, minJ = 0.5,
+          kernel = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -439,19 +439,37 @@ object Dedup {
     val width = SimhashBits / nChunks
     val sk = if (kernel) simhash64Kernel(docs, idCol, textCol, hasher)
              else simhash64(docs, idCol, textCol, hasher)
+    def chunkShift(c: Int): Int = c * width
+    def chunkMask(c: Int): Long = {
+      val w = if (c == nChunks - 1) SimhashBits - chunkShift(c) else width
+      (1L << w) - 1L
+    }
     val chunked = sk.select(col(idCol).as("id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
-        val shift = c * width
-        val w = if (c == nChunks - 1) SimhashBits - shift else width
-        val mask = (1L << w) - 1L
-        shiftrightunsigned(col("simhash"), shift).bitwiseAND(mask)
+        shiftrightunsigned(col("simhash"), chunkShift(c)).bitwiseAND(chunkMask(c))
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
+    // Emit each qualifying pair from its FIRST agreeing chunk only: a pair
+    // within distance d agrees on ≥1 chunk but usually on several (an exact
+    // dup agrees on all nChunks — and dup-heavy corpora are exactly where
+    // this operator's output explodes), so the naive join emits up to
+    // nChunks duplicate rows per pair and then pays a full distinct()
+    // shuffle of the pair set to collapse them. The first agreeing chunk is
+    // a pure function of the two sketches (lowest all-zero chunk of their
+    // XOR), so the duplicate emissions are dropped by a codegen'd filter
+    // at the join output and the distinct disappears — same result set,
+    // one shuffle less, join output ~nChunks× smaller on dup-heavy data.
+    val xorCol = col("x.simhash").bitwiseXOR(col("y.simhash"))
+    def chunkAgrees(c: Int): Column =
+      shiftrightunsigned(xorCol, chunkShift(c)).bitwiseAND(chunkMask(c)) === 0L
+    val firstAgreeingChunk = (0 until nChunks).foldRight(lit(nChunks): Column) {
+      (c, els) => when(chunkAgrees(c), lit(c)).otherwise(els)
+    }
     chunked.as("x").join(chunked.as("y"), Seq("chunk_idx", "chunk_val"))
       .filter(col("x.id") < col("y.id"))
+      .filter(col("chunk_idx") === firstAgreeingChunk)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(xorCol).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .distinct()
   }
 
   // --- embedding cosine near-dup --------------------------------------------

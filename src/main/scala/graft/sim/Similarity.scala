@@ -216,9 +216,15 @@ object Similarity {
     val scored = corpus.select(col(idCol), quantize(col(vecCol)).as("qv"))
       .join(broadcast(cent))
       .withColumn("cos", intCosine(col("qv"), col("centroid")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cos").desc, col("cell_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("cell_id"), col("cos"))
+    // argmax as a MAP-SIDE-COMBINABLE aggregate, not a window: a
+    // row_number window over partitionBy(id) shuffles ALL |corpus|×nCells
+    // scored rows just to keep one per vector, while the partial-aggregated
+    // max collapses each mapper's rows to one per vector BEFORE the
+    // exchange. Struct ordering is lexicographic, so max(struct(cos,
+    // -cell_id)) is exactly the window's (cos DESC, cell_id ASC) tiebreak.
+    scored.groupBy(col(idCol))
+      .agg(max(struct(col("cos"), (-col("cell_id")).as("neg_cell"))).as("b"))
+      .select(col(idCol), (-col("b.neg_cell")).as("cell_id"), col("b.cos").as("cos"))
   }
 
   /**

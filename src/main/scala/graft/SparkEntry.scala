@@ -314,14 +314,21 @@ object SparkEntry {
 
     // ---------------- text analysis ----------------
     "q21_lang_id" -> ((s, d) => {
-      // staged: normalize once, score from the materialized column, argmax
-      // from the score columns — keeps the codegen tree linear instead of
-      // re-expanding the regexp normalization ~50x
+      // marker counts through the one-pass JVM kernel (bit-identical to the
+      // staged declarative replace-trick the oracle mirrors — PipelineSpec
+      // pins parity): one normalization + 20 indexOf scans per row instead
+      // of 20 allocated replace() copies of the document
       val langs = TextAnalysis.langMarkers.map(_._1)
+      val markers = TextAnalysis.langMarkers
+        .flatMap { case (_, ws) => ws.map(w => s" $w ") }.toArray
+      val mc = TextAnalysis.markerCountsUdf(markers)
+      val nPerLang = TextAnalysis.langMarkers.head._2.size
       t(s, d, "documents")
-        .select(col("doc_id"), TextAnalysis.padded(col("text")).as("pt"))
-        .select(col("doc_id") +: langs.map(l =>
-          TextAnalysis.langScoreFromPadded(col("pt"), l).as(s"s_$l")): _*)
+        .select(col("doc_id"), mc(col("text")).as("mc"))
+        .select(col("doc_id") +: langs.zipWithIndex.map { case (l, i) =>
+          (0 until nPerLang).map(j => element_at(col("mc"), i * nPerLang + j + 1))
+            .reduce(_ + _).as(s"s_$l")
+        }: _*)
         .withColumn("pred_lang",
           TextAnalysis.langIdFromScores(langs.map(l => l -> col(s"s_$l"))))
         .orderBy(col("doc_id"))

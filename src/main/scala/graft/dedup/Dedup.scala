@@ -299,7 +299,16 @@ object Dedup {
   }
 
   /** LSH banding: candidate pairs = docs agreeing on at least one band of
-    * `rowsPerBand` consecutive signature slots. Distinct (id_a < id_b). */
+    * `rowsPerBand` consecutive signature slots. Distinct (id_a < id_b).
+    *
+    * The `distinct()` here is NOT replaceable by simhash's first-agreeing-
+    * chunk emission (q28's dedup-free join): that trick requires "first
+    * agreeing band" to be a pure function of the two rows, but `bucketCap`
+    * drops overcrowded buckets GLOBALLY — a pair whose first agreeing band
+    * was capped must still be emitted by a later surviving band, and
+    * survival is not row-locally computable. The distinct's input is the
+    * candidate set (already bucket-capped, ≪ n²), so the shuffle it pays
+    * is bounded by design. */
   def lshCandidatePairs(
       sigs: DataFrame,
       bands: Int,

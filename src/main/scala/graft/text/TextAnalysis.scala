@@ -59,6 +59,34 @@ object TextAnalysis {
   def langScore(text: Column, lang: String): Column =
     langScoreFromPadded(padded(text), lang)
 
+  /** One-pass JVM mirror of K independent [[countOcc]] columns over the
+    * PADDED normalized text (see [[padded]]): per-token non-overlapping
+    * left-to-right counts with zero string allocation per token — each
+    * declarative `countOcc` allocates a full `replace()`d copy of the
+    * document per marker (20 copies/row in q21's 4-language scoring).
+    * `indexOf` stepping by `tok.length` is exactly the replace-trick's
+    * semantics (leftmost-first, non-overlapping). Parity is spec-pinned. */
+  def markerCountsKernel(text: String, tokens: Array[String]): Array[Long] = {
+    if (text == null) return null
+    val pt = " " + normTextJvm(text) + " "
+    val out = new Array[Long](tokens.length)
+    var t = 0
+    while (t < tokens.length) {
+      val tok = tokens(t)
+      var c = 0L
+      var idx = pt.indexOf(tok)
+      while (idx >= 0) { c += 1; idx = pt.indexOf(tok, idx + tok.length) }
+      out(t) = c
+      t += 1
+    }
+    out
+  }
+
+  /** Column form of [[markerCountsKernel]] for a FIXED token list (the
+    * tokens are captured in the UDF closure, already space-padded). */
+  def markerCountsUdf(tokens: Array[String]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) => markerCountsKernel(s, tokens))
+
   /** argmax over precomputed per-language score columns with a fixed
     * priority order for ties — "und" when no marker fires at all. */
   def langIdFromScores(scores: Seq[(String, Column)]): Column = {

@@ -193,6 +193,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(2) == run(7))
   }
 
+  test("marker-count kernel ≡ declarative replace-trick scoring (q21 oracle contract)") {
+    val texts = Seq(
+      "",
+      "the the the",
+      "a a a a",                       // overlapping-pad case: " a " at shared spaces
+      "der  Hund   und\tdie Katze und das ist",
+      "THE quick AND lazy OF dog TO the IN in the",
+      "le la et les des le la " * 10)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val declarative = d
+      .select(col("doc_id"), TextAnalysis.padded($"text").as("pt"))
+      .select(col("doc_id") +: langs.map(l =>
+        TextAnalysis.langScoreFromPadded(col("pt"), l).as(s"s_$l")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to langs.size).map(r.getLong)).toMap
+    val markers = TextAnalysis.langMarkers
+      .flatMap { case (_, ws) => ws.map(w => s" $w ") }.toArray
+    val mc = TextAnalysis.markerCountsUdf(markers)
+    val nPerLang = TextAnalysis.langMarkers.head._2.size
+    val kernel = d.select(col("doc_id"), mc($"text").as("mc"))
+      .select(col("doc_id") +: langs.zipWithIndex.map { case (l, i) =>
+        (0 until nPerLang).map(j => element_at(col("mc"), i * nPerLang + j + 1))
+          .reduce(_ + _).as(s"s_$l")
+      }: _*)
+      .collect().map(r => r.getLong(0) -> (1 to langs.size).map(r.getLong)).toMap
+    texts.indices.foreach { i =>
+      assert(kernel(i.toLong) == declarative(i.toLong),
+        s"kernel/declarative marker-count divergence on doc $i")
+    }
+  }
+
   test("winnowing kernel ≡ declarative higher-order form (the q35 oracle contract)") {
     val texts = Seq(
       "",

@@ -335,9 +335,13 @@ object SparkEntry {
     }),
 
     "q22_quality" -> ((s, d) => {
+      // integer primitives through the one-pass kernel (spec-pinned ≡ the
+      // declarative replace/regex counting the oracle mirrors); every ratio
+      // stays the same declarative single IEEE division of those integers
       t(s, d, "documents")
-        .select(col("doc_id") +: TextAnalysis.qualityColumns(col("text"))
-          :+ TextAnalysis.qualityScore(col("text")).as("quality_score"): _*)
+        .select(col("doc_id"), TextAnalysis.quality_prims_udf(col("text")).as("qp"))
+        .select(col("doc_id") +: TextAnalysis.qualityColumnsFromPrims(col("qp"))
+          :+ TextAnalysis.qualityScoreFromPrims(col("qp")).as("quality_score"): _*)
         .orderBy(col("doc_id"))
     }),
 

@@ -140,6 +140,70 @@ object TextAnalysis {
       (nChars.cast("double") / safeWords).as("avg_word_len"))
   }
 
+  /** One-pass JVM mirror of q22's INTEGER primitives —
+    * (n_chars, n_words, punct, digits, upper, stop) — over one document:
+    * the declarative form pays three regexp_replace copies of the raw text
+    * (char classes), two normalizations (word count, used twice) and seven
+    * replace copies of the padded text (stopwords, also used twice). Every
+    * downstream ratio stays a DECLARATIVE single IEEE division of these
+    * integers ([[qualityColumnsFromPrims]]), so oracle arithmetic is
+    * untouched. ASCII-safe corpus assumption as [[normTextJvm]]. */
+  def qualityPrimsKernel(text: String): Array[Long] = {
+    if (text == null) return null
+    var punct = 0L; var digits = 0L; var upper = 0L
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?') punct += 1
+      else if (c >= '0' && c <= '9') digits += 1
+      else if (c >= 'A' && c <= 'Z') upper += 1
+      i += 1
+    }
+    val nt = normTextJvm(text)
+    val nWords = if (nt.isEmpty) 0L else {
+      var sp = 0L; var j = 0
+      while (j < nt.length) { if (nt.charAt(j) == ' ') sp += 1; j += 1 }
+      sp + 1
+    }
+    val stop = markerCountsKernel(text, qualityStopTokens).sum
+    Array(text.length.toLong, nWords, punct, digits, upper, stop)
+  }
+
+  private val qualityStopTokens: Array[String] =
+    qualityStopwords.map(w => s" $w ").toArray
+
+  val quality_prims_udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) => qualityPrimsKernel(s))
+
+  /** [[qualityColumns]] rebuilt from a materialized [[qualityPrimsKernel]]
+    * array column — identical names, identical single-IEEE-op arithmetic. */
+  def qualityColumnsFromPrims(p: Column): Seq[Column] = {
+    val nChars = element_at(p, 1)
+    val nWords = element_at(p, 2)
+    val safeChars = greatest(nChars, lit(1L)).cast("double")
+    val safeWords = greatest(nWords, lit(1L)).cast("double")
+    Seq(
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      (element_at(p, 3).cast("double") / safeChars).as("punct_ratio"),
+      (element_at(p, 4).cast("double") / safeChars).as("digit_ratio"),
+      (element_at(p, 5).cast("double") / safeChars).as("upper_ratio"),
+      (element_at(p, 6).cast("double") / safeWords).as("stopword_ratio"),
+      (nChars.cast("double") / safeWords).as("avg_word_len"))
+  }
+
+  /** [[qualityScore]] from the primitives array — same closed form. */
+  def qualityScoreFromPrims(p: Column): Column = {
+    val nWords = element_at(p, 2).cast("double")
+    val stop = element_at(p, 6).cast("double")
+    val digits = element_at(p, 4).cast("double")
+    val nChars = greatest(element_at(p, 1), lit(1L)).cast("double")
+    val lenTerm = least(nWords / 100.0, lit(1.0))
+    val stopTerm = least((stop * 5.0) / greatest(nWords, lit(1.0)), lit(1.0))
+    val digitPenalty = lit(1.0) - least(digits * 3.0 / nChars, lit(1.0))
+    lenTerm * 0.4 + stopTerm * 0.3 + digitPenalty * 0.3
+  }
+
   /** Composite [0,1] quality score — monotone in word count, penalizes
     * digit/punct-heavy and stopword-free text. Same closed form in SQL. */
   def qualityScore(text: Column): Column = {

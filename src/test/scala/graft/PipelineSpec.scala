@@ -224,6 +224,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("quality-prims kernel ≡ declarative counting, all columns bit-exact (q22 contract)") {
+    val texts = Seq(
+      "",
+      "   ",
+      "The quick brown fox; jumps over 42 LAZY dogs!? a a the of",
+      "1234 5678 90!!!! ???? 00",
+      "einz zwei drei " * 40,
+      "a A. a, a; a: a! a?")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val declarative = d.select(col("doc_id") +: TextAnalysis.qualityColumns($"text")
+        :+ TextAnalysis.qualityScore($"text").as("quality_score"): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val kernel = d.select(col("doc_id"), TextAnalysis.quality_prims_udf($"text").as("qp"))
+      .select(col("doc_id") +: TextAnalysis.qualityColumnsFromPrims($"qp")
+        :+ TextAnalysis.qualityScoreFromPrims($"qp").as("quality_score"): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    texts.indices.foreach { i =>
+      assert(kernel(i.toLong) == declarative(i.toLong),
+        s"kernel/declarative quality divergence on doc $i")
+    }
+  }
+
   test("winnowing kernel ≡ declarative higher-order form (the q35 oracle contract)") {
     val texts = Seq(
       "",

@@ -127,7 +127,12 @@ object Bench {
       // projection and time only the scan)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // outside the timed window: queries share no caches by design, and a
+      // pinned output (q16's globalSeqPinned) must not accumulate across
+      // queries — each measurement starts cache-clean
+      spark.catalog.clearCache()
+      name -> sec
     }
 
     val (fetched, discovered, crawlSec) = crawlBench(spark, crawlPagesFor(sfDir), rounds = 3, parts = cpus)
@@ -382,7 +387,8 @@ object ScalingBench {
     if (sys.env.get("SPARK_GRAFT_SCALE_WRITE_MD").contains("1")) {
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
-    }
+    } else System.err.println(
+      "[scaling] BENCH/BASELINE.md NOT written (set SPARK_GRAFT_SCALE_WRITE_MD=1 to persist)")
     val curveJson = results.map(r =>
       f"""{"pages":${r.nPages},"parts":${r.parts},"lo":${r.loN},"hi":${r.hiN},"urls":${r.urls},"thr_lo":${r.thrLo}%.1f,"thr_hi":${r.thrHi}%.1f,"eff":${r.eff}%.3f,"eff_best":${r.effBest}%.3f}""")
       .mkString("[", ",", "]")

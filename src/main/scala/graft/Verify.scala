@@ -24,6 +24,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries share no caches by design; dropping whatever a query pinned
+      // (e.g. q16's globalSeqPinned output) keeps repeated-query sessions
+      // from accumulating session-lifetime caches
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

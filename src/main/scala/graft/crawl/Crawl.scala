@@ -442,8 +442,18 @@ object Crawl {
       // has already observed the failure (the caller would see round N-1 as
       // latest, then round N's manifest would appear asynchronously). If the
       // in-flight commit itself failed, the loop already threw from settle();
-      // the Try here only absorbs that duplicate on the error path.
-      inFlight.foreach(f => scala.util.Try(Await.result(f.fut, Duration.Inf)))
+      // the Try here only absorbs that duplicate on the error path. The
+      // await is FINITE: a wedged commit (hung filesystem write) must not
+      // block the finally path forever and swallow the primary exception —
+      // on timeout the commit thread is abandoned (daemon, dies with the
+      // JVM) and the original exception propagates.
+      inFlight.foreach(f => scala.util.Try(
+        Await.result(f.fut, scala.concurrent.duration.Duration(10, "min"))) match {
+        case scala.util.Failure(_: java.util.concurrent.TimeoutException) =>
+          System.err.println(s"[crawl] finally: in-flight commit did not quiesce " +
+            "within 10 min — abandoning it; the primary exception propagates")
+        case _ =>
+      })
       // release every cache the loop still pins — settled rounds' retired
       // frames AND any half-built round's, whichever statement threw
       release(live.toSeq)

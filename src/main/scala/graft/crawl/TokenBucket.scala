@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
  * fetch is scheduled at the earliest virtual time a token exists. The clock
  * is VIRTUAL (starts at 0 per host per round) so the schedule is a pure
  * function of each candidate's rank within its host — never wall time.
- * Closed form: offset_ms(rank) = max(0, rank - burst + 1) / rate * 1000,
- * which the property suite asserts equals this stateful implementation for
- * random inputs (the stateful form is kept because it generalizes to
- * variable cost / per-host rates; the closed form would not).
+ * Closed form: offset_ms(rank) = max(0, rank − burst) · ceil(1000/rate)
+ * with 1-based rank (see [[offsetByRank]] — the per-step ceil matters for
+ * non-integral 1000/rate), which the property suite asserts equals this
+ * stateful implementation for random inputs (the stateful form is kept
+ * because it generalizes to variable cost / per-host rates; the closed
+ * form would not).
  *
  * Scale contract: callers repartition by host and sort within partitions by
  * (host, priority) first, so one host's candidates arrive consecutively in

@@ -227,6 +227,11 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text",
       hasher: DedupHasher = DedupHasher.crossEngine): DataFrame = {
+    // Null text yields NO signature row — the pinned semantics of both this
+    // form and the JVM kernel (the base-column filter is cheap and pushed;
+    // without it explode_outer would emit an all-null signature here while
+    // the kernel dropped the row — a silent parity break on null-bearing
+    // corpora).
     // explode_OUTER, deliberately: `sh` is non-empty by construction (the
     // short-doc branch emits the whole text as one shingle), so outer ≡
     // inner here — but inner explode triggers InferFiltersFromGenerate,
@@ -234,7 +239,7 @@ object Dedup {
     // projections and re-inlines the whole shingle tree into a Filter
     // (measured: the re-expanded lambda re-ran the normalization regex per
     // element_at and cost ~6s of q27's sf0.1 wall — more than every hash).
-    val exploded = withShingles(docs, idCol, textCol)
+    val exploded = withShingles(docs.filter(col(textCol).isNotNull), idCol, textCol)
       .select(col(idCol), explode_outer(col("sh")).as("sh1"))
       .withColumn("h", hasher.seed(col("sh1")))
     val minCols = (0 until k).map(i => min(hasher.permute(col("h"), i)).as(s"m$i"))
@@ -286,8 +291,9 @@ object Dedup {
   }
 
   /** Column form of [[minhashSigKernel]]: (id, sig) — same output as
-    * [[minhashSignatures]]. Null text drops the row, matching the
-    * declarative explode-over-null behavior. */
+    * [[minhashSignatures]]. Null text drops the row in BOTH forms (the
+    * declarative form filters the base column before shingling) —
+    * parity-pinned by PipelineSpec on a null-bearing corpus. */
   def minhashSignaturesKernel(
       docs: DataFrame, k: Int, idCol: String = "doc_id", textCol: String = "text",
       hasher: DedupHasher = DedupHasher.crossEngine, n: Int = 3): DataFrame = {

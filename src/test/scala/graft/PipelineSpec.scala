@@ -307,6 +307,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash null-text rows drop in BOTH forms (kernel/declarative parity on null corpora)") {
+    val d = Seq((0L, "alpha beta gamma"), (1L, null), (2L, ""))
+      .toDF("doc_id", "text")
+    val declarative = Dedup.minhashSignatures(d, k = 8)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val kernel = Dedup.minhashSignaturesKernel(d, k = 8)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(declarative == Seq(0L, 2L), "declarative must drop the null-text row only")
+    assert(kernel == declarative, "kernel must emit exactly the declarative row set")
+    // simhash pins the same rule through its inner explode — assert it too
+    val sd = Dedup.simhash64(d).collect().map(_.getLong(0)).sorted.toSeq
+    val sk = Dedup.simhash64Kernel(d).collect().map(_.getLong(0)).sorted.toSeq
+    assert(sd == Seq(0L, 2L) && sk == sd)
+  }
+
   test("linkrank: distributed ≡ sequential reference; invariant across partitionings") {
     import graft.operators.LinkRank
     // deterministic pseudo-random digraph: 120 nodes, ~480 edges, includes

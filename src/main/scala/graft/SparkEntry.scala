@@ -599,6 +599,17 @@ object SparkEntry {
       LinkRank.linkRank(edges, iters = 3).orderBy(col("node"))
     }),
 
+    "q46_host_budget" -> ((s, d) => {
+      // PER-HOST budget (op 38's literal k = budget(host)): the bounded-PQ
+      // aggregate with a tier map — two hosts override the default k. The
+      // oracle states the same semantics as a rank window with a CASE'd cap.
+      val fr = CrawlRound.firstDiscoveryWins(syntheticFrontier(s, d))
+      graft.operators.HostTopK.hostTopK(fr, 4,
+        budgets = Map("h3.com" -> 2, "h7.com" -> 9))
+        .select(col("canon_url"), col("host"), col("host_rank"))
+        .orderBy(col("canon_url"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1108,6 +1119,28 @@ object SparkEntry {
          |${iter(3)}
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
     },
+
+    "q46_host_budget" ->
+      """WITH fr AS (
+        | SELECT 'https://h' || (o_custkey % 50) || '.com/o' || (o_orderkey % 1000) AS canon_url,
+        |  'https://h' || (o_custkey % 50) || '.com/o' || (o_orderkey % 1000) || '?r=' || o_orderkey AS raw_url,
+        |  'h' || (o_custkey % 50) || '.com' AS host,
+        |  'com.h' || (o_custkey % 50) AS host_rev,
+        |  CAST(o_orderkey % 5 AS INTEGER) AS depth,
+        |  CAST(o_orderkey % 3 AS INTEGER) AS discovery_round,
+        |  'https://s' || (o_custkey % 7) AS src_url
+        | FROM orders),
+        |d AS (SELECT * FROM (
+        | SELECT *, row_number() OVER (PARTITION BY canon_url
+        |  ORDER BY depth, discovery_round, src_url, raw_url, host, host_rev) AS rn
+        | FROM fr) WHERE rn = 1),
+        |r AS (SELECT canon_url, host,
+        |  CAST(row_number() OVER (PARTITION BY host
+        |   ORDER BY depth, discovery_round, canon_url) AS INTEGER) AS host_rank
+        | FROM d)
+        |SELECT canon_url, host, host_rank FROM r
+        |WHERE host_rank <= CASE host WHEN 'h3.com' THEN 2 WHEN 'h7.com' THEN 9 ELSE 4 END
+        |ORDER BY canon_url""".stripMargin,
 
     "q29_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, ${sqlQv("embedding")} AS qv FROM embeddings),

@@ -256,11 +256,11 @@ object CrawlRound {
     // candidate set through one window task (see HostTopK scaladoc). The
     // rank window remains only for the unbounded case (no top-k to take).
     val inBudget =
-      if (cfg.hostBudget == Int.MaxValue) {
+      if (cfg.hostBudget == Int.MaxValue && cfg.hostBudgets.isEmpty) {
         val hostW = Window.partitionBy(col("host"))
           .orderBy(col("depth").asc, col("discovery_round").asc, col("canon_url").asc)
         allowed.withColumn("host_rank", row_number().over(hostW))
-      } else graft.operators.HostTopK.hostTopK(allowed, cfg.hostBudget)
+      } else graft.operators.HostTopK.hostTopK(allowed, cfg.hostBudget, cfg.hostBudgets)
 
     // ---- 4. global round budget (TakeOrderedAndProject, op 39).
     // Skipped when the budget is unbounded: TakeOrdered funnels the global

@@ -51,6 +51,12 @@ final case class CrawlConfig(
     userAgent: String = "crawlerspark",
     maxDepth: Int = 6,
     hostBudget: Int = 16,
+    // Per-host budget OVERRIDES (op 38's literal signature k = budget(host)):
+    // politeness tiers — whitelisted partners crawl deeper, abuse-listed
+    // hosts shallower. Tiny by construction (explicit tier entries, not one
+    // per host); rides the budget aggregator's closure. Hosts absent from
+    // the map use `hostBudget`.
+    hostBudgets: Map[String, Int] = Map.empty,
     roundBudget: Int = 2048,
     ratePerSec: Double = 2.0,
     burst: Int = 4,

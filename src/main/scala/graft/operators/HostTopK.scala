@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
  *   - per-host memory is bounded by k everywhere (op 49's guard) instead of
  *     by the hot host's frontier share.
  *
+ * Budgets are PER-HOST (op 38's literal signature `k = budget(host)`): a
+ * small (host → k) override map rides the aggregator's closure — the
+ * production shape for politeness tiers (whitelisted partners get a larger
+ * budget, abuse-listed hosts a smaller one). The map is driver-provided
+ * config, tiny by construction (explicit tier entries, not one row per
+ * host), so closure capture — which broadcasts it once per stage — is the
+ * right delivery; a join would shuffle the candidate set against config.
+ *
  * Ordering/determinism: candidates compare by (depth, discovery_round,
  * canon_url) — a total order (canon_url unique within a batch after
  * first-discovery dedup), so the surviving set and the emitted host_rank
@@ -28,10 +36,13 @@ import org.apache.spark.sql.functions._
  */
 object HostTopK {
 
-  /** The candidate payload carried through the budget PQ. */
+  /** The candidate payload carried through the budget PQ. `host` rides
+    * along (it is also the grouping key) so the per-host budget lookup is
+    * buffer-local — the aggregator never sees the grouping key otherwise. */
   final case class Cand(
       canon_url: String,
       raw_url: String,
+      host: String,
       host_rev: String,
       depth: Int,
       discovery_round: Int,
@@ -64,16 +75,21 @@ object HostTopK {
   }
 
   /** Size-k bounded PQ aggregator: keeps the k SMALLEST candidates by
-    * [[candOrd]] in a binary max-heap (root = current worst). */
-  final class TopKAgg(k: Int)
+    * [[candOrd]] in a binary max-heap (root = current worst), where
+    * k = budgets(host) with `default` as the fallback. All candidates in a
+    * buffer share one host (the grouping key), so the per-buffer k is
+    * well-defined; merge keeps the same k because both sides carry it. */
+  final class TopKAgg(default: Int, budgets: Map[String, Int])
       extends Aggregator[Cand, scala.collection.mutable.ArrayBuffer[Cand], Array[Cand]] {
+    private def kOf(host: String): Int = budgets.getOrElse(host, default)
+
     override def zero: scala.collection.mutable.ArrayBuffer[Cand] =
       scala.collection.mutable.ArrayBuffer.empty[Cand]
 
     override def reduce(
         h: scala.collection.mutable.ArrayBuffer[Cand],
         c: Cand): scala.collection.mutable.ArrayBuffer[Cand] = {
-      if (h.length < k) { h += c; siftUp(h, h.length - 1) }
+      if (h.length < kOf(c.host)) { h += c; siftUp(h, h.length - 1) }
       else if (candOrd.lt(c, h(0))) { h(0) = c; siftDown(h) }
       h
     }
@@ -81,8 +97,8 @@ object HostTopK {
     override def merge(
         a: scala.collection.mutable.ArrayBuffer[Cand],
         b: scala.collection.mutable.ArrayBuffer[Cand]): scala.collection.mutable.ArrayBuffer[Cand] = {
-      b.foreach(c => reduce(a, c))
-      a
+      if (a.isEmpty) b
+      else { b.foreach(c => reduce(a, c)); a }
     }
 
     override def finish(h: scala.collection.mutable.ArrayBuffer[Cand]): Array[Cand] =
@@ -97,15 +113,16 @@ object HostTopK {
   /**
    * frontier-shaped input (canon_url, raw_url, host, host_rev, depth,
    * discovery_round, src_url) → same columns + host_rank (1-based priority
-   * rank within host), at most k rows per host. Output is hash-partitioned
-   * by host (the aggregation key) — downstream host-clustered stages can
-   * reuse the partitioning without another exchange.
+   * rank within host), at most `budgets.getOrElse(host, k)` rows per host.
+   * Output is hash-partitioned by host (the aggregation key) — downstream
+   * host-clustered stages can reuse the partitioning without another
+   * exchange.
    */
-  def hostTopK(df: DataFrame, k: Int): DataFrame = {
-    val agg = udaf(new TopKAgg(k))
+  def hostTopK(df: DataFrame, k: Int, budgets: Map[String, Int] = Map.empty): DataFrame = {
+    val agg = udaf(new TopKAgg(k, budgets))
     df.groupBy(col("host"))
       // a udaf over a case-class input takes the FIELDS as arguments
-      .agg(agg(col("canon_url"), col("raw_url"), col("host_rev"),
+      .agg(agg(col("canon_url"), col("raw_url"), col("host"), col("host_rev"),
         col("depth"), col("discovery_round"), col("src_url")).as("top"))
       .select(col("host"), posexplode(col("top")).as(Seq("pos", "c")))
       .select(col("c.canon_url").as("canon_url"), col("c.raw_url").as("raw_url"),

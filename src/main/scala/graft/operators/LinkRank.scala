@@ -27,11 +27,12 @@ import org.apache.spark.sql.functions._
  * do the same, which is the property the oracle checks.
  *
  * Scale: each iteration is one join + one aggregate over the edge table —
- * the Pregel-in-SQL shape. At the design point (10^10 edges) the loop
- * would persist `ranks` per iteration exactly like the crawl loop commits
- * rounds (the iteration count is small and fixed; the plan here unrolls
- * K iterations, which is fine for K ≤ ~5 — callers that iterate deeper
- * checkpoint between rounds like `Crawl.runRounds` does).
+ * the Pregel-in-SQL shape. With `persistEvery = 0` the plan UNROLLS the K
+ * iterations (fine for K ≤ ~5, and what the SQL oracle mirrors); deeper
+ * iteration counts pass `persistEvery ≥ 1`, which pins the iterated ranks
+ * (and the loop-invariant node/outdeg frames) so plan depth stays bounded
+ * and `nodes`/`outdeg` evaluate once instead of once per unrolled level —
+ * the same cache-pin/retire discipline as `Crawl.runRounds`' round frames.
  */
 object LinkRank {
 
@@ -40,15 +41,25 @@ object LinkRank {
 
   /** `iters` rounds of the integer recurrence over `edges` (src, dst —
     * assumed distinct, self-loops allowed but pointless). Returns
-    * (node, rank) for every node appearing as src or dst. */
-  def linkRank(edges: DataFrame, iters: Int): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    * (node, rank) for every node appearing as src or dst.
+    *
+    * `persistEvery > 0` pins `ranks` every that-many iterations (forcing
+    * it, then retiring the previous pin — never more than one iteration
+    * cache live beyond the frontier) plus the loop-invariant `nodes` /
+    * `outdeg` frames for the loop's duration. The RETURNED frame is then
+    * itself pinned and forced; the caller unpersists it when done. Values
+    * are identical either way — integer arithmetic, order-independent. */
+  def linkRank(edges: DataFrame, iters: Int, persistEvery: Int = 0): DataFrame = {
+    val doPin = persistEvery > 0
+    def pin(df: DataFrame): DataFrame = if (doPin) df.persist() else df
+    val nodes = pin(edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct())
+    val outdeg = pin(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     // teleport term: 0.15 in micro-units
     val teleport = Unit1 * 15 / 100
     var ranks = nodes.withColumn("rank", lit(Unit1))
-    for (_ <- 1 to iters) {
+    var pinned: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contribs = edges
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outdeg, "src")
@@ -57,7 +68,15 @@ object LinkRank {
       ranks = nodes.join(gathered, Seq("node"), "left_outer")
         .select(col("node"),
           (lit(teleport) + expr("(coalesce(s, 0L) * 85) div 100")).as("rank"))
+      if (doPin && (i % persistEvery == 0 || i == iters)) {
+        val p = ranks.persist()
+        p.count() // force BEFORE retiring the pin this plan reads from
+        pinned.foreach(_.unpersist())
+        pinned = Some(p)
+        ranks = p
+      }
     }
+    if (doPin) { nodes.unpersist(); outdeg.unpersist() }
     ranks
   }
 

@@ -87,6 +87,46 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("op 38: per-host variable budgets — each host caps at ITS k, rank prefix preserved") {
+    import spark.implicits._
+    // operator level: three hosts, override two of them
+    val cands = for { h <- 0 until 3; i <- 0 until 20 }
+      yield (f"https://b$h.com/p$i%02d", f"https://b$h.com/p$i%02d",
+        s"b$h.com", s"com.b$h", i % 4, 0, null.asInstanceOf[String])
+    val df = cands.toDF("canon_url", "raw_url", "host", "host_rev",
+      "depth", "discovery_round", "src_url")
+    val out = graft.operators.HostTopK.hostTopK(df, 5, Map("b1.com" -> 2, "b2.com" -> 11))
+    val counts = out.groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("b0.com" -> 5L, "b1.com" -> 2L, "b2.com" -> 11L))
+    // survivors are the PREFIX of the per-host priority order (depth,
+    // discovery_round, canon_url): depth-0 candidates are i ∈ {0,4,8,12,16}
+    val b1 = out.filter(col("host") === "b1.com").orderBy("host_rank")
+      .select("canon_url", "host_rank").collect()
+    assert(b1.map(_.getInt(1)).toSeq == Seq(1, 2))
+    assert(b1.map(_.getString(0)).toSeq ==
+      Seq("https://b1.com/p00", "https://b1.com/p04"))
+
+    // loop level: cap the Zipf-head fixture host at 2 — every round's
+    // per-host fetch count respects ITS budget, and the cap binds
+    val uni = FixtureGen.Universe(600)
+    val c2 = cfg.copy(hostBudgets = Map(uni.host(0) -> 2))
+    val (catalog, results, _) = runCrawl(tmp(), 600, 8, 2, c2)
+    assert(results.head.fetched > 0)
+    import graft.functions.UrlExpressions.url_host
+    val perHost = Crawl.fullFetchLog(spark, catalog)
+      .withColumn("host", url_host(col("canon_url")))
+      .groupBy("round", "host").count().collect()
+    perHost.foreach { r =>
+      val cap = if (r.getString(1) == uni.host(0)) 2L else cfg.hostBudget.toLong
+      assert(r.getLong(2) <= cap,
+        s"host ${r.getString(1)} round ${r.getInt(0)}: ${r.getLong(2)} > $cap")
+    }
+    // the Zipf head has far more than 2 candidates — the override must bind
+    assert(perHost.exists(r => r.getString(1) == uni.host(0) && r.getLong(2) == 2L),
+      s"expected the ${uni.host(0)} cap to bind in some round")
+  }
+
   test("op 47: threshold salting flattens a Zipf-hot host; the schedule is layout-invariant") {
     import spark.implicits._
     // adversarial head: ONE host owns 50% of the scheduled candidates

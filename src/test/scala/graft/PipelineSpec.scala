@@ -340,6 +340,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("linkrank K=10: persistEvery bounds plan depth, values ≡ unrolled reference") {
+    import graft.operators.LinkRank
+    val edges = (0 until 600).map { i =>
+      val u = (i * 37) % 120L
+      val v = (i * i * 13 + 7) % 97L
+      (u, v)
+    }.distinct.filter { case (u, v) => u != v }
+    val expected = LinkRank.linkRankReference(edges, iters = 10)
+    val df = edges.toDF("src", "dst").repartition(5)
+    val ranked = LinkRank.linkRank(df, iters = 10, persistEvery = 3)
+    // the pin bounds plan depth: the returned frame reads from the last
+    // persisted iteration, so its analyzed plan must not embed the edge
+    // scan once per unrolled level (10 iters ≈ 20+ scans when unrolled)
+    val scans = ranked.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+        if l.getClass.getSimpleName == "InMemoryRelation" => l
+    }
+    assert(scans.nonEmpty, "K=10 persistEvery plan must read from a cached iteration")
+    val got = ranked.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ranked.unpersist()
+    assert(got == expected, "persistEvery path diverged from the sequential reference")
+  }
+
   test("IVF search: probing ALL cells ≡ exact scan; nProbe=2 recall ≥ 0.4") {
     val vecs = (0 until 200).map { i =>
       val v = (0 until 16).map(j => math.sin(i * 17 + j * 3).toFloat).toArray

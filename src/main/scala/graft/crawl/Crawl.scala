@@ -228,6 +228,29 @@ object Crawl {
     val mapside = cfg.sketchDelivery == "mapside"
     val timing = sys.env.contains("GRAFT_CRAWL_TIMING")
 
+    // Cross-round frame hop (see CrawlConfig.pipelineHop). Both tiers force
+    // the frame on the calling thread (df.rdd materializes the AQE stages;
+    // checkpoint() is eager by design), so the overlap shape is identical —
+    // only the durability of the handed-off bytes differs.
+    if (cfg.pipelineHop != "checkpoint" && cfg.pipelineHop != "cache")
+      throw new IllegalArgumentException(s"unknown pipelineHop ${cfg.pipelineHop}")
+    val hopCheckpoint = cfg.commitPipelining && cfg.pipelineHop == "checkpoint"
+    if (hopCheckpoint) {
+      val dir =
+        if (cfg.checkpointDir.nonEmpty) cfg.checkpointDir
+        else java.nio.file.Files.createTempDirectory("graft-ckpt-").toString
+      // idempotent: setCheckpointDir creates a fresh UUID subdir per call,
+      // so two crawls sharing a session never collide. Checkpoint files
+      // retire with the RDDs when spark.cleaner.referenceTracking
+      // .cleanCheckpoints is on; otherwise one narrow frame-set per round
+      // accumulates (bounded by crawl length, GC'd out-of-band — the same
+      // lifecycle as Iceberg's expired-snapshot files).
+      spark.sparkContext.setCheckpointDir(dir)
+    }
+    def hop(df: DataFrame): DataFrame =
+      if (hopCheckpoint) df.checkpoint() // eager + RELIABLE: lineage ends at durable files
+      else spark.createDataFrame(df.rdd, df.schema) // flat LogicalRDD over the pinned cache
+
     // Commit executor: ONE dedicated daemon thread. Commits must be ordered
     // (manifest N settles before commit N+1 starts — N+1's append chain
     // anchors on N's manifest) and each commit is internally parallel
@@ -375,29 +398,31 @@ object Crawl {
               // role an Iceberg table boundary plays on a real cluster; the
               // narrow frontier/sketch rows make the Row re-encode cost noise.
               //
-              // DURABILITY CAVEAT (cluster deployment): the hop's lineage is
-              // the pinned cache, and MEMORY_AND_DISK survives memory
-              // pressure but NOT executor loss — a lost block would silently
+              // DURABILITY (cluster deployment): the default "cache" hop's
+              // lineage is the pinned cache — MEMORY_AND_DISK survives memory
+              // pressure but NOT executor loss; a lost block would silently
               // recompute upstream plans whose range boundaries re-sample
               // (wrong fetch_seq), the exact trap the cache pins against.
-              // Only local mode makes block loss impossible, so pipelined
-              // mode's in-memory handoff is a LOCAL-MODE/RELIABLE-STORE
-              // assumption; on a lossy cluster either run commitPipelining =
-              // false (the durable branch below — at most one commit wall per
-              // round of extra latency) or make the hop a checkpoint.
-              frontier = spark.createDataFrame(out.frontierNext.rdd, out.frontierNext.schema)
+              // Only local mode makes block loss impossible. On a lossy
+              // cluster run pipelineHop = "checkpoint" (reliable-checkpoint
+              // hop — same 1-deep overlap, lineage truncated at durable
+              // files, parity-tested against both other modes) or
+              // commitPipelining = false (the fully synchronous durable
+              // branch below — at most one commit wall per round of extra
+              // latency).
+              frontier = hop(out.frontierNext)
               // newKeys is hopped too: seenExact_{N+1} embeds it, and ITS
               // plan embeds seenExact_N — an un-truncated chain recurses one
               // full round-plan per round (the linear cousin of the
               // exponential frontier blowup above)
               seenExact = catalog.load(spark, "url_seen_exact", Some(round - 1)).get
-                .unionByName(spark.createDataFrame(out.newKeys.rdd, out.newKeys.schema))
-              urlSeenPrev = Some(spark.createDataFrame(sketchNext.rdd, sketchNext.schema))
+                .unionByName(hop(out.newKeys))
+              urlSeenPrev = Some(hop(sketchNext))
               if (cfg.robotsFetchInLoop)
                 robotsRules = out.robotsFetched match {
                   case Some(rn) =>
                     catalog.load(spark, "robots_rules", Some(round - 1)).get
-                      .unionByName(spark.createDataFrame(rn.rdd, rn.schema))
+                      .unionByName(hop(rn))
                   case None => catalog.load(spark, "robots_rules", Some(round - 1)).get
                 }
             } else {

@@ -101,7 +101,26 @@ final case class CrawlConfig(
     // durability is unchanged: at most the one in-flight round is lost,
     // same as the synchronous loop. Committed bytes are identical either
     // way — the determinism/resume contract is mode-independent.
-    commitPipelining: Boolean = true)
+    commitPipelining: Boolean = true,
+    // How pipelined mode's cross-round frames survive the round boundary:
+    //   "cache"      — flat LogicalRDD hop over the pinned cache (zero extra
+    //     I/O). Lineage bottoms out in executor blocks: MEMORY_AND_DISK
+    //     survives memory pressure but NOT executor loss, so this tier is a
+    //     LOCAL-MODE / reliable-store assumption (block loss would silently
+    //     recompute with re-sampled range boundaries — wrong fetch_seq).
+    //   "checkpoint" — reliable Dataset.checkpoint(): the handed-off frames
+    //     (frontier, new seen keys, sketch rows, in-loop robots delta) are
+    //     written to `checkpointDir` and re-read from there; lineage is
+    //     TRUNCATED at durable files, so executor loss recomputes nothing.
+    //     This is the cluster-durable pipelined tier: it keeps the 1-deep
+    //     commit overlap while restoring sync mode's durability, at the cost
+    //     of one extra write+read of the (narrow) cross-round frames.
+    pipelineHop: String = "cache", // "cache" | "checkpoint"
+    // Reliable-checkpoint root for pipelineHop = "checkpoint". On a cluster
+    // this MUST be shared storage (HDFS/S3 — same fault domain as the
+    // catalog); empty = a fresh local temp dir (sandbox/tests). Ignored by
+    // the cache tier.
+    checkpointDir: String = "")
 
 /** A discovered frontier entry tagged with its URL-seen sketch verdict —
   * the map-side probe's output row ([[CrawlRound.run]] step 10). */

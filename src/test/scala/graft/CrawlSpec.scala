@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -250,29 +252,60 @@ class CrawlSpec extends AnyFunSuite {
       "URL-seen sets diverge between delivery tiers")
   }
 
-  test("pipelined commit ≡ synchronous loop: tables, metrics, and drain behavior") {
+  test("pipelined commit ≡ synchronous loop ≡ checkpoint hop: tables, metrics, drain") {
     // enough rounds that the frontier DRAINS: the pipelined loop runs one
     // speculative round past the drain and must discard it uncommitted
-    val (catA, resA, _) = runCrawl(tmp(), 400, 6, 30) // default: pipelined
+    val (catA, resA, _) = runCrawl(tmp(), 400, 6, 30) // default: pipelined, cache hop
     val (catB, resB, _) = runCrawl(tmp(), 400, 6, 30, cfg.copy(commitPipelining = false))
+    // cluster-durable pipelined tier: reliable-checkpoint hop
+    val ckptDir = tmp()
+    val (catC, resC, _) = runCrawl(tmp(), 400, 6, 30,
+      cfg.copy(pipelineHop = "checkpoint", checkpointDir = ckptDir))
     assert(resA.size < 30, "fixture did not drain — the discard path went unexercised")
-    assert(resA.map(r => (r.round, r.fetched, r.enqueued, r.robotsDenied)) ==
-      resB.map(r => (r.round, r.fetched, r.enqueued, r.robotsDenied)))
+    val sig = (rs: Seq[CrawlRound.RoundResult]) =>
+      rs.map(r => (r.round, r.fetched, r.enqueued, r.robotsDenied))
+    assert(sig(resA) == sig(resB))
+    assert(sig(resA) == sig(resC), "checkpoint-hop run diverged from cache-hop run")
+    // the checkpoint hop actually wrote durable frames (lineage truncation
+    // is real, not a silent fall-through to the cache tier)
+    val ckptFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
+    assert(ckptFiles > 0, "checkpoint dir is empty — no frame was durably hopped")
     // identical committed rounds: the speculative post-drain round left no trace
-    assert(catA.latestRound == catB.latestRound)
+    assert(catA.latestRound == catB.latestRound && catA.latestRound == catC.latestRound)
     val proj = Seq("fetch_seq", "canon_url", "status", "scheduled_offset_ms", "text_sha256")
     val a = Crawl.fullFetchLog(spark, catA).orderBy("fetch_seq").select(proj.map(col): _*).collect()
     val b = Crawl.fullFetchLog(spark, catB).orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    val c = Crawl.fullFetchLog(spark, catC).orderBy("fetch_seq").select(proj.map(col): _*).collect()
     assert(a.length == b.length && a.sameElements(b), "pipelined and sync runs diverged")
+    assert(a.length == c.length && a.sameElements(c), "checkpoint and cache hops diverged")
     // commit-time metrics (Observation-fed, including total_fetched computed
     // from the driver-side fetch_seq base handoff) agree between modes
     val last = catA.latestRound.get
     assert(catA.metricsOf(last) == catB.metricsOf(last))
+    assert(catA.metricsOf(last) == catC.metricsOf(last))
     assert(catA.metricsOf(last)("total_fetched") == resA.map(_.fetched).sum)
     // the seen set (append-delta chain) agrees too
     val seenA = catA.load(spark, "url_seen_exact").get
     val seenB = catB.load(spark, "url_seen_exact").get
+    val seenC = catC.load(spark, "url_seen_exact").get
     assert(seenA.exceptAll(seenB).isEmpty && seenB.exceptAll(seenA).isEmpty)
+    assert(seenA.exceptAll(seenC).isEmpty && seenC.exceptAll(seenA).isEmpty)
+  }
+
+  test("checkpoint hop with in-loop robots: robots-delta frame hops durably, ≡ cache hop") {
+    val inLoop = cfg.copy(robotsFetchInLoop = true)
+    val (catA, resA, _) = runCrawl(tmp(), 400, 6, 4, inLoop)
+    val (catB, resB, _) = runCrawl(tmp(), 400, 6, 4,
+      inLoop.copy(pipelineHop = "checkpoint", checkpointDir = tmp()))
+    assert(resA.map(r => (r.round, r.fetched, r.robotsFetched)) ==
+      resB.map(r => (r.round, r.fetched, r.robotsFetched)))
+    assert(resA.head.robotsFetched > 0, "in-loop robots round went unexercised")
+    val a = Crawl.fullFetchLog(spark, catA).orderBy("fetch_seq")
+      .select("fetch_seq", "canon_url", "status").collect()
+    val b = Crawl.fullFetchLog(spark, catB).orderBy("fetch_seq")
+      .select("fetch_seq", "canon_url", "status").collect()
+    assert(a.length == b.length && a.sameElements(b), "in-loop checkpoint run diverged")
   }
 
   test("determinism: identical fetch_log across two full runs") {

@@ -610,6 +610,20 @@ object SparkEntry {
         .orderBy(col("canon_url"))
     }),
 
+    "q47_rank_buckets" -> ((s, d) => {
+      // frontier priority tiers (CrawlConfig.rankPriority): q45's link rank
+      // bucketed by LinkRank.bucketByRank's pure-integer thresholds —
+      // tier t ⇔ 1 + rank div 1e6 ≥ 2^(3−t), tier 0 hottest. Exactly the
+      // (host → rank_bucket) table the crawl broadcast-joins into the
+      // priority struct; the oracle restates the thresholds as a CASE.
+      val edges = t(s, d, "lineitem").select(
+        pmod(col("l_orderkey"), lit(997L)).as("src"),
+        pmod(col("l_partkey"), lit(997L)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      LinkRank.bucketByRank(LinkRank.linkRank(edges, iters = 3), buckets = 4)
+        .orderBy(col("host"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1118,6 +1132,29 @@ object SparkEntry {
          |${iter(2)},
          |${iter(3)}
          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 ORDER BY node""".stripMargin
+    },
+
+    "q47_rank_buckets" -> {
+      def iter(i: Int): String =
+        s"""g$i AS (SELECT e.dst AS node, SUM(r.rank // o.outdeg) AS s
+           |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+           |  JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+           |r$i AS (SELECT n.node, 150000 + (COALESCE(g.s, 0) * 85) // 100 AS rank
+           |  FROM nodes n LEFT JOIN g$i g ON g.node = n.node)""".stripMargin
+      s"""WITH edges AS (
+         |  SELECT DISTINCT l_orderkey % 997 AS src, l_partkey % 997 AS dst
+         |  FROM lineitem WHERE l_orderkey % 997 <> l_partkey % 997),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |v AS (SELECT node, 1 + rank // 1000000 AS v FROM r3)
+         |SELECT node AS host,
+         |  CAST(CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1 WHEN v >= 2 THEN 2
+         |       ELSE 3 END AS INTEGER) AS rank_bucket
+         |FROM v ORDER BY host""".stripMargin
     },
 
     "q46_host_budget" ->

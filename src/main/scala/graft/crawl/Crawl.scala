@@ -272,6 +272,11 @@ object Crawl {
     var base = catalog.metricsOf(startRound - 1).getOrElse("total_fetched",
       (0 until startRound).map(r => catalog.metricsOf(r).getOrElse("fetched", 0L)).sum)
     var sketches = state.sketches
+    // rankPriority: the accumulated host-graph (union of per-round distinct
+    // deltas — committed as an APPEND chain, never a full rewrite; dedup
+    // happens once per round at rank-compute time). None until links exist.
+    var hostEdges: Option[DataFrame] =
+      if (cfg.rankPriority) catalog.load(spark, "host_edges") else None
 
     var inFlight: Option[InFlight] = None
     var retired: Seq[DataFrame] = Nil // frames of the last SETTLED round
@@ -320,8 +325,17 @@ object Crawl {
           // run() is plan construction PLUS the rank materialization (the
           // sort cache + counts collect inside globalSeqCached force
           // fetch+parse) — it overlaps the previous round's in-flight commit.
+          // rankPriority: distinct + pin the accumulated edge set (the K
+          // unrolled LinkRank iterations scan it 2K+1 times), rank it, and
+          // hand the bucketed tiers to the round. The signal covers rounds
+          // < this one in BOTH commit modes (parity). Lifecycle: the pin
+          // backs this round's cached frames (priority embeds rank_bucket),
+          // so it retires with them when commit round+1 settles.
+          val edgesPin = hostEdges.map { e => val p = e.distinct().persist(); live += p; p }
+          val hostRanks = edgesPin.map(e => graft.operators.LinkRank.bucketByRank(
+            graft.operators.LinkRank.linkRank(e, cfg.rankIters), cfg.rankBuckets))
           val out = CrawlRound.run(spark, frontier, seenExact, seenState, pagesCanon,
-            robotsRules, cfg, round, base, robotsSource)
+            robotsRules, cfg, round, base, robotsSource, hostRanks)
           live ++= out.persisted
           val tRun = phase("run+rank", tRound)
           val sketchNext = urlSeenPrev match {
@@ -339,7 +353,7 @@ object Crawl {
             // the previous round turned out to be the drain: this round ran
             // SPECULATIVELY and is discarded uncommitted — committed state
             // stays identical to the sequential loop's.
-            release(out.persisted ++ Seq(out.frontierNext, sketchNext))
+            release(out.persisted ++ Seq(out.frontierNext, sketchNext) ++ edgesPin.toSeq)
             continue = false
           } else {
             // capture vals for the closure: the loop vars are reassigned at
@@ -374,13 +388,16 @@ object Crawl {
                   "text_mismatches" -> r.textMismatches)
               },
                 // the monotone seen set is committed as a DELTA (this
-                // round's new keys, already cached) — never a full rewrite
-                appends = Map("url_seen_exact" -> thisOut.newKeys))
+                // round's new keys, already cached) — never a full rewrite.
+                // host_edges likewise: the per-round distinct link-graph
+                // delta appends onto the chain (rankPriority).
+                appends = Map("url_seen_exact" -> thisOut.newKeys)
+                  ++ thisOut.hostEdgesDelta.map("host_edges" -> _))
               if (r == null) r = CrawlRound.result(thisOut)
               r
             }(commitEc)
             inFlight = Some(InFlight(round, fut,
-              out.persisted ++ Seq(out.frontierNext, sketchNext)))
+              out.persisted ++ Seq(out.frontierNext, sketchNext) ++ edgesPin.toSeq))
 
             if (cfg.commitPipelining) {
               // ---- hand off state for round+1 IN MEMORY: cached output
@@ -425,6 +442,13 @@ object Crawl {
                       .unionByName(hop(rn))
                   case None => catalog.load(spark, "robots_rules", Some(round - 1)).get
                 }
+              // host graph: settled delta chain (≤ round-1) + this round's
+              // hopped delta — identical to what sync mode reads back after
+              // its settle (deltas ≤ round)
+              out.hostEdgesDelta.foreach { d =>
+                hostEdges = Some(catalog.load(spark, "host_edges", Some(round - 1))
+                  .map(_.unionByName(hop(d))).getOrElse(hop(d)))
+              }
             } else {
               // ---- durable handoff (synchronous mode): settle the commit
               // just queued, then anchor EVERY cross-round frame on the
@@ -437,6 +461,7 @@ object Crawl {
               urlSeenPrev = catalog.load(spark, "url_seen")
               if (cfg.robotsFetchInLoop)
                 robotsRules = catalog.load(spark, "robots_rules").get
+              if (cfg.rankPriority) hostEdges = catalog.load(spark, "host_edges")
             }
             base += out.fetchedCount
             if (!mapside) {

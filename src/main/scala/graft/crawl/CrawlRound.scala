@@ -64,6 +64,9 @@ object CrawlRound {
       robotsFetched: Option[DataFrame], // in-loop mode: newly acquired rules
       obsLineage: org.apache.spark.sql.Observation,
       robotsFetchedCount: Long, // in-loop mode: |missing hosts| this round (driver-known)
+      // rankPriority: this round's distinct (src_host, dst_host) link-graph
+      // delta — the loop folds it into the committed host_edges table
+      hostEdgesDelta: Option[DataFrame],
       persisted: Seq[DataFrame],
       // rows in `logged` (== the round's `fetched` metric), known on the
       // driver the moment run() returns: the rank's counts pass collects
@@ -91,8 +94,19 @@ object CrawlRound {
     * lexicographic (depth, discovery_round, host_rev, canon_url), ending in
     * canon_url ⇒ total order. Carried as a real column through the rank so
     * budget/sort/rank all consume the same materialized value. */
-  def priorityCol: Column =
-    struct(col("depth"), col("discovery_round"), col("host_rev"), col("canon_url"))
+  def priorityCol: Column = priorityCol(ranked = false)
+
+  /** `ranked = true` (CrawlConfig.rankPriority): a host-level `rank_bucket`
+    * tier (0 = hottest, from LinkRank.bucketByRank) slots in after depth —
+    * within a BFS layer, popular hosts schedule first and survive the round
+    * budget first. The struct still ends in canon_url ⇒ total order, and
+    * the bucket is host-constant ⇒ within-host rank order (what the
+    * closed-form token bucket and HostTopK key on) is unchanged. */
+  def priorityCol(ranked: Boolean): Column =
+    if (ranked)
+      struct(col("depth"), col("rank_bucket"), col("discovery_round"),
+        col("host_rev"), col("canon_url"))
+    else struct(col("depth"), col("discovery_round"), col("host_rev"), col("canon_url"))
   private def priorityOrder: Seq[Column] = Seq(col("priority").asc)
 
   def partitionIdOf(c: Column, p: Int): Column = pmod(xxhash64(c), lit(p)).cast("int")
@@ -207,7 +221,10 @@ object CrawlRound {
       cfg: CrawlConfig,
       round: Int,
       fetchSeqBase: Long,
-      robotsSource: Option[DataFrame] = None): RoundOutput = {
+      robotsSource: Option[DataFrame] = None,
+      // (host, rank_bucket) from LinkRank.bucketByRank over rounds < this
+      // one — broadcast-joined as the priority's rank term (rankPriority)
+      hostRanks: Option[DataFrame] = None): RoundOutput = {
     import spark.implicits._
 
     // ---- 1. eligibility: scheme + depth (pushable predicates, SURVEY 21/22)
@@ -262,14 +279,28 @@ object CrawlRound {
         allowed.withColumn("host_rank", row_number().over(hostW))
       } else graft.operators.HostTopK.hostTopK(allowed, cfg.hostBudget, cfg.hostBudgets)
 
+    // ---- 3b. link-rank priority tier (op 16 × q45, cfg.rankPriority):
+    // host-level, so it joins AFTER the per-host budget (which it cannot
+    // change — the bucket is constant within a host) and BEFORE everything
+    // that consumes the priority struct (round budget, fetch_seq rank). The
+    // rank side is hosts-sized ⇒ broadcast; unranked hosts (no inlinks seen
+    // yet) take the coldest bucket.
+    val (budgeted, prio) = hostRanks match {
+      case None => (inBudget, priorityCol)
+      case Some(hr) =>
+        (inBudget.join(broadcast(hr), Seq("host"), "left_outer")
+          .withColumn("rank_bucket", coalesce(col("rank_bucket"), lit(cfg.rankBuckets - 1))),
+          priorityCol(ranked = true))
+    }
+
     // ---- 4. global round budget (TakeOrderedAndProject, op 39).
     // Skipped when the budget is unbounded: TakeOrdered funnels the global
     // top-k through the driver, which is a pure serial tax when k exceeds
     // the candidate count (ordering is irrelevant here — step 5 repartitions
     // by host and re-sorts within partitions anyway).
     val scheduledCand =
-      if (cfg.roundBudget == Int.MaxValue) inBudget
-      else inBudget.orderBy(priorityCol.asc).limit(cfg.roundBudget)
+      if (cfg.roundBudget == Int.MaxValue) budgeted
+      else budgeted.orderBy(prio.asc).limit(cfg.roundBudget)
 
     // ---- 5. politeness: host-clustered, hot-host-SALTED layout + the
     // closed-form token-bucket schedule (ops 47/48).
@@ -292,13 +323,12 @@ object CrawlRound {
     // clustering, byte-identical layout semantics) and chunks a Zipf-hot
     // host across partitions in threshold-sized groups — one host can no
     // longer own a straggler partition (SURVEY op 47's exact shape).
+    val schedCols = Seq(col("canon_url"), col("host"), col("host_rev"), col("depth"),
+      col("discovery_round"), col("host_rank")) ++
+      (if (hostRanks.isDefined) Seq(col("rank_bucket")) else Nil)
     val clustered =
-      if (cfg.roundBudget == Int.MaxValue)
-        scheduledCand.select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
-          col("discovery_round"), col("host_rank"))
-      else politenessLayout(
-        scheduledCand.select(col("canon_url"), col("host"), col("host_rev"), col("depth"),
-          col("discovery_round"), col("host_rank")), cfg)
+      if (cfg.roundBudget == Int.MaxValue) scheduledCand.select(schedCols: _*)
+      else politenessLayout(scheduledCand.select(schedCols: _*), cfg)
     val scheduled = TokenBucket.scheduleByRank(clustered, cfg.burst, cfg.ratePerSec)
     scheduled.persist() // reused by the fetch join AND the frontier anti-join
 
@@ -336,7 +366,7 @@ object CrawlRound {
       col("discovery_round"), col("scheduled_offset_ms"), col("status"),
       size(col("outlinks")).as("n_outlinks"),
       when(col("text").isNotNull, sha2(col("text"), 256)).as("text_sha256"),
-      col("text_match"), priorityCol.as("priority"), col("outlinks"))
+      col("text_match"), prio.as("priority"), col("outlinks"))
     parseCache.persist()
     val (rankedSeq, rankSorted, nRanked) = Ranks.globalSeqCachedWithCount(
       parseCache.drop("outlinks"), "seq0", priorityOrder, cfg.numPartitions)
@@ -364,6 +394,19 @@ object CrawlRound {
       .withColumn("discovery_round", lit(round + 1))
       .select(FrontierCols.map(col): _*)
     val firstSeenInBatch = firstDiscoveryWins(discovered)
+
+    // ---- 9b. host-graph delta for the rank signal (rankPriority): the
+    // distinct CROSS-host edges observed in this round's parse, BEFORE
+    // seen-dedup — a link to an already-crawled page still confers rank.
+    // Self-edges (intra-host navigation) are dropped: they only inflate a
+    // host's own score. Reads the persisted parse cache; distinct host
+    // pairs are hosts²-bounded, tiny next to the discovery set.
+    val hostEdgesDelta =
+      if (!cfg.rankPriority) None
+      else Some(discovered
+        .select(url_host(col("src_url")).as("src"), col("host").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct())
 
     // ---- 10. seen-dedup: Bloom negative test ⇒ definitely new; the rest
     // verify against the exact store (keeps exactness, shrinks the join).
@@ -460,7 +503,7 @@ object CrawlRound {
 
     RoundOutput(round, fetchLog, frontierNext,
       newEntries.select(col("canon_url")), denied, logged, lineage,
-      robotsNewOpt, obsLineage, nRobotsFetched,
+      robotsNewOpt, obsLineage, nRobotsFetched, hostEdgesDelta,
       persisted = Seq(logged, parseCache, rankSorted, scheduled, newEntries, flagged, denied)
         ++ missingHostsOpt.toSeq,
       fetchedCount = nRanked)

@@ -71,6 +71,22 @@ final case class CrawlConfig(
     // shuffle) exceeds it — i.e. when the budget alone no longer bounds the
     // straggler.
     hostSaltThreshold: Int = 4096,
+    // Link-rank frontier prioritization (op 16 × q45): when on, each round
+    // runs the integer-fixed-point LinkRank over the HOST graph accumulated
+    // from all committed rounds' discovered links, buckets hosts into
+    // `rankBuckets` deterministic tiers (LinkRank.bucketByRank — pure
+    // integer thresholds, no float ever), and broadcast-joins the tier into
+    // the candidate set as a `rank_bucket` term of the priority struct
+    // (after depth, before discovery_round). Popular hosts fetch earlier
+    // and survive the round budget first; the total order is preserved
+    // (canon_url still ends the struct). The signal LAGS one round by
+    // construction — round N ranks over links discovered through round N−1,
+    // identically in sync and pipelined modes (parity-tested). Committed
+    // fetch_log/frontier schemas are unchanged: rank_bucket lives only in
+    // the in-round frames.
+    rankPriority: Boolean = false,
+    rankIters: Int = 3,
+    rankBuckets: Int = 4,
     numPartitions: Int = 32,
     bloomFpp: Double = 0.01,
     bloomExpectedPerPartition: Long = 1 << 16,

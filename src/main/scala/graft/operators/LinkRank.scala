@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -78,6 +78,26 @@ object LinkRank {
     }
     if (doPin) { nodes.unpersist(); outdeg.unpersist() }
     ranks
+  }
+
+  /** Deterministic bucketing of [[linkRank]] output into `buckets` priority
+    * tiers for the crawl frontier (CrawlConfig.rankPriority): tier 0 is the
+    * hottest. Thresholds are PURE INTEGER — tier t ⇔ 1 + rank div Unit1 ≥
+    * 2^(buckets−1−t) — so the assignment is exact and engine/partitioning
+    * independent (a float log2 could flip a bucket on a 1-ulp boundary; a
+    * global ntile window would single-task-sort the full host table). With
+    * the default 4 buckets: rank < 1.0 → 3 (teleport-only, unlinked),
+    * 1.0 ≤ r < 3.0 → 2, 3.0 ≤ r < 7.0 → 1, r ≥ 7.0 → 0. Output:
+    * (host, rank_bucket int). */
+  def bucketByRank(ranks: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 31, s"rankBuckets must be in [2,31], got $buckets")
+    val v = lit(1L) + expr(s"rank div ${Unit1}L")
+    // nest so the hottest threshold tests OUTERMOST (folding ascending
+    // would route every hot host into the t=buckets-2 arm)
+    val tier = (buckets - 2 to 0 by -1).foldLeft(lit(buckets - 1): Column) {
+      case (acc, t) => when(v >= (1L << (buckets - 1 - t)), lit(t)).otherwise(acc)
+    }
+    ranks.select(col("node").as("host"), tier.cast("int").as("rank_bucket"))
   }
 
   /** Sequential reference implementation of the identical recurrence —

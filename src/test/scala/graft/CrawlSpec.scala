@@ -422,6 +422,76 @@ class CrawlSpec extends AnyFunSuite {
     assert(out1.sameElements(out2), "tie-break winner depends on partitioning")
   }
 
+  test("rankPriority: high-rank hosts schedule first and survive the round budget") {
+    import spark.implicits._
+    // bucket thresholds are exact integers: v = 1 + rank div 1e6
+    val tiers = graft.operators.LinkRank.bucketByRank(
+      Seq(("x", 150000L), ("y", 1000000L), ("z", 3000000L), ("w", 7000000L)).toDF("node", "rank"), 4)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(tiers == Map("x" -> 3, "y" -> 2, "z" -> 1, "w" -> 0), s"bucket thresholds off: $tiers")
+
+    // direct round: two hosts, equal depth, budget 4 of 6 candidates — the
+    // ranked host (bucket 0) takes the first three fetch_seq slots AND
+    // crowds the unranked host down to one surviving candidate
+    val urls = for (h <- Seq("a.test", "b.test"); i <- 1 to 3) yield s"https://$h/p$i"
+    val pages = urls.map(u => (u, s"<html><body>page $u</body></html>", null: String))
+      .toDF("canon_url", "html", "ref_text")
+    val frontier = urls.map { u =>
+      val h = u.stripPrefix("https://").takeWhile(_ != '/')
+      (u, u, h, h.split('.').reverse.mkString("."), 0, 0, null: String)
+    }.toDF("canon_url", "raw_url", "host", "host_rev", "depth", "discovery_round", "src_url")
+    val robots = Seq(("zzz.test", "User-agent: *\nAllow: /")).toDF("host", "robots_body")
+      .withColumn("rules", graft.functions.CrawlUdfs.robots_parse(col("robots_body")))
+      .select("host", "rules")
+    val c = cfg.copy(rankPriority = true, roundBudget = 4, numPartitions = 4)
+    val out = CrawlRound.run(spark, frontier, Seq.empty[String].toDF("canon_url"),
+      SketchBroadcast(Map.empty), pages, robots, c, round = 1, fetchSeqBase = 0L,
+      robotsSource = None, hostRanks = Some(Seq(("a.test", 0)).toDF("host", "rank_bucket")))
+    val got = out.fetchLog.select("canon_url", "fetch_seq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.persisted.foreach(_.unpersist())
+    assert(got == Map(
+      "https://a.test/p1" -> 0L, "https://a.test/p2" -> 1L, "https://a.test/p3" -> 2L,
+      "https://b.test/p1" -> 3L), s"rank-priority schedule wrong: $got")
+  }
+
+  test("rankPriority e2e: host_edges chain commits; pipelined ≡ sync; order shifts vs unranked") {
+    // dense enough that the Zipf-hot hosts cross the rank ≥ 1.0 tier
+    // boundary after round 1's links (sparser fixtures leave every host in
+    // the coldest bucket and the signal is a no-op by construction)
+    val rp = cfg.copy(rankPriority = true, roundBudget = 24)
+    val (catA, resA, _) = runCrawl(tmp(), 2000, 32, 6, rp)
+    val (catB, _, _) = runCrawl(tmp(), 2000, 32, 6, rp.copy(commitPipelining = false))
+    assert(resA.map(_.fetched).sum > 0)
+    val proj = Seq("fetch_seq", "canon_url", "status", "scheduled_offset_ms", "text_sha256")
+    val a = Crawl.fullFetchLog(spark, catA).orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    val b = Crawl.fullFetchLog(spark, catB).orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    // the rank signal lags one round identically in both commit modes
+    assert(a.length == b.length && a.sameElements(b), "rank-priority pipelined and sync diverged")
+    // the committed host graph: non-empty append chain of cross-host edges
+    val edges = catA.load(spark, "host_edges").get
+    assert(edges.count() > 0, "no host_edges delta was committed")
+    assert(edges.filter(col("src") === col("dst")).count() == 0, "self-edges in host graph")
+    // vacuity guard: the edge set consumed by the LAST round must tier at
+    // least one host above the coldest bucket (the Zipf-hot h0 crosses the
+    // rank ≥ 1.0 boundary in the round-4 edge set of this fixture)
+    val lastIn = catA.load(spark, "host_edges", Some(catA.latestRound.get - 1)).get.distinct()
+    val consumed = graft.operators.LinkRank.bucketByRank(
+      graft.operators.LinkRank.linkRank(lastIn, rp.rankIters), rp.rankBuckets)
+    assert(consumed.select("rank_bucket").distinct().count() >= 2,
+      "no host ever left the coldest bucket — the order-shift assertion is vacuous")
+    // and the signal is real: an unranked run at the same budget crawls a
+    // different order (round 1 is identical by construction — no edges yet)
+    val (catC, _, _) = runCrawl(tmp(), 2000, 32, 6, cfg.copy(roundBudget = 24))
+    val c = Crawl.fullFetchLog(spark, catC).orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    assert(!(a.length == c.length && a.sameElements(c)), "rankPriority had no effect on crawl order")
+    val aR1 = Crawl.fullFetchLog(spark, catA).filter(col("round") === 1)
+      .orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    val cR1 = Crawl.fullFetchLog(spark, catC).filter(col("round") === 1)
+      .orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    assert(aR1.sameElements(cR1), "round 1 must be identical — no rank signal exists yet")
+  }
+
   test("cuckoo tier: same crawl, delete-capable seen filter") {
     val c2 = cfg.copy(filterKind = "cuckoo")
     val (catalog, results, _) = runCrawl(tmp(), 500, 4, 2, c2)

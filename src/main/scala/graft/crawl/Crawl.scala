@@ -66,12 +66,23 @@ object Crawl {
   private def emptyFetchLog(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.fetchLog)
 
-  /** Per-partition sketch rows for a batch of new canon_urls. */
-  def buildSketchDelta(spark: SparkSession, newKeys: DataFrame, cfg: CrawlConfig): DataFrame = {
+  /** Bloom (numBits, numHashes) for an expected-items-per-partition target
+    * at false-positive rate `fpp` — the standard m = −n·ln p / ln²2 sizing,
+    * floored at one word and capped at the serializable max. */
+  def bloomGeometry(expected: Long, fpp: Double): (Int, Int) = {
     val bits = math.max(64L,
-      math.ceil(-cfg.bloomExpectedPerPartition * math.log(cfg.bloomFpp) / (math.log(2) * math.log(2))).toLong)
+      math.ceil(-expected * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
       .min(Int.MaxValue.toLong - 64).toInt
-    val k = math.max(1, math.round(bits.toDouble / cfg.bloomExpectedPerPartition * math.log(2)).toInt)
+    val k = math.max(1, math.round(bits.toDouble / expected * math.log(2)).toInt)
+    (bits, k)
+  }
+
+  /** Per-partition sketch rows for a batch of new canon_urls. `geometry`
+    * overrides the cfg-derived bloom size (adaptiveSketch resizes). */
+  def buildSketchDelta(spark: SparkSession, newKeys: DataFrame, cfg: CrawlConfig,
+      geometry: Option[(Int, Int)] = None): DataFrame = {
+    val (bits, k) = geometry.getOrElse(
+      bloomGeometry(cfg.bloomExpectedPerPartition, cfg.bloomFpp))
     val keyed = newKeys
       .withColumn("partition_id", CrawlRound.partitionIdOf(col("canon_url"), cfg.numPartitions))
       .withColumn("key", xxhash64(col("canon_url")))
@@ -278,6 +289,26 @@ object Crawl {
     var hostEdges: Option[DataFrame] =
       if (cfg.rankPriority) catalog.load(spark, "host_edges") else None
 
+    // ---- adaptive sketch sizing (cfg.adaptiveSketch, bloom tier only).
+    // Driver-known cumulative seen count: round 0's "enqueued" metric is the
+    // seed count, each later round's is its new keys — no jobs to maintain.
+    val adaptive = cfg.adaptiveSketch && cfg.filterKind == "bloom"
+    var bloomGeo = bloomGeometry(cfg.bloomExpectedPerPartition, cfg.bloomFpp)
+    var sketchRebuild = false
+    var seenTotal: Long =
+      (0 until startRound).map(r => catalog.metricsOf(r).getOrElse("enqueued", 0L)).sum
+    if (adaptive) urlSeenPrev.foreach { prev =>
+      // resume adopts the COMMITTED geometry, not cfg's: a prior run may
+      // have resized, and a delta at any other size cannot OR-merge into
+      // the committed rows (BloomFilter.merge throws on geometry mismatch).
+      // One sketch-row header read — driver-tiny, once per runRounds.
+      prev.select("sketch").head(1).headOption.foreach { row =>
+        val bb = java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](0))
+        bb.getInt(); bb.getInt() // magic, version
+        bloomGeo = (bb.getInt(), bb.getInt())
+      }
+    }
+
     var inFlight: Option[InFlight] = None
     var retired: Seq[DataFrame] = Nil // frames of the last SETTLED round
     var lastRes: Option[CrawlRound.RoundResult] = None
@@ -297,6 +328,7 @@ object Crawl {
       retired = f.frames
       results += res
       lastRes = Some(res)
+      seenTotal += res.enqueued
       inFlight = None
     }
     // a robots-only round (in-loop acquisition) is progress: candidates
@@ -310,6 +342,28 @@ object Crawl {
       while (continue && round < startRound + maxRounds) {
         if (lastRes.exists(noProgress)) { continue = false }
         else {
+          // adaptive sizing: consult the last settled round's lineage. One
+          // signal per settled round; the resize targets 2× the cumulative
+          // seen count, so ONE rebuild restores headroom (doubling-only
+          // would crawl out of a badly undersized start one round at a
+          // time). The resized geometry applies to the sketch built THIS
+          // round — the probe this round still reads the previous snapshot.
+          if (adaptive) lastRes.foreach { r =>
+            val tested = r.discovered - r.dedupedExact // bloom-tested negatives
+            val fp = r.enqueued - r.dedupedBloomDefinite // verified-new "might"s
+            if (tested > 0 && fp.toDouble / tested > 2 * cfg.bloomFpp) {
+              val target = math.max(2L * seenTotal / cfg.numPartitions,
+                cfg.bloomExpectedPerPartition)
+              val geo = bloomGeometry(target, cfg.bloomFpp)
+              if (geo._1 > bloomGeo._1) {
+                if (timing) System.err.println(
+                  f"[crawl] adaptive sketch: measured FPR ${fp.toDouble / tested}%.4f > " +
+                    f"2x${cfg.bloomFpp}; rebuilding at ${geo._1} bits (was ${bloomGeo._1})")
+                bloomGeo = geo
+                sketchRebuild = true
+              }
+            }
+          }
           val tRound = System.nanoTime()
           def phase(name: String, t0: Long): Long = {
             val t1 = System.nanoTime()
@@ -338,10 +392,20 @@ object Crawl {
             robotsRules, cfg, round, base, robotsSource, hostRanks)
           live ++= out.persisted
           val tRun = phase("run+rank", tRound)
-          val sketchNext = urlSeenPrev match {
-            case Some(prev) => mergeSketches(prev, buildSketchDelta(spark, out.newKeys, cfg))
-            case None => buildSketchDelta(spark, out.newKeys, cfg)
-          }
+          val geo = if (adaptive) Some(bloomGeo) else None
+          val sketchNext =
+            if (sketchRebuild) {
+              // resize = REBUILD from the exact store (the ground truth):
+              // blooms of different geometry cannot OR-merge. One full scan
+              // of the seen keys at the new size, then delta-merge resumes.
+              sketchRebuild = false
+              buildSketchDelta(spark,
+                seenExact.select("canon_url").unionByName(out.newKeys), cfg, geo)
+            } else urlSeenPrev match {
+              case Some(prev) =>
+                mergeSketches(prev, buildSketchDelta(spark, out.newKeys, cfg, geo))
+              case None => buildSketchDelta(spark, out.newKeys, cfg, geo)
+            }
           sketchNext.persist(); live += sketchNext
           out.frontierNext.persist() // backs the write, the lineage agg AND next round's input
           live += out.frontierNext

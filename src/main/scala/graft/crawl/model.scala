@@ -91,6 +91,20 @@ final case class CrawlConfig(
     bloomFpp: Double = 0.01,
     bloomExpectedPerPartition: Long = 1 << 16,
     filterKind: String = "bloom", // "bloom" | "cuckoo"
+    // Adaptive seen-sketch sizing (bloom tier only): each round the loop
+    // computes the REALIZED false-positive rate from its own lineage
+    // metrics (fp = enqueued − deduped_bloom_definite over tested =
+    // discovered − deduped_exact — the same accounting CrawlSpec's FPR gate
+    // pins). When it exceeds 2× bloomFpp, the next snapshot is REBUILT from
+    // the exact seen store, sized for 2× the driver-known cumulative seen
+    // count (blooms of different geometry cannot OR-merge, so resize means
+    // one full-scan rebuild — the growth is geometric, so a crawl pays
+    // O(log final-size) rebuilds total). Membership verdicts stay exact
+    // either way (the bloom only pre-filters the exact anti-join), so the
+    // committed fetch_log is byte-identical with the flag on or off — only
+    // sketch geometry and the bloom_might lineage metric change. Resume
+    // adopts the committed snapshot's geometry from its header, never cfg's.
+    adaptiveSketch: Boolean = false,
     // in-loop robots acquisition (op 31): candidates on hosts with no known
     // robots verdict DEFER one round while the round fetches their
     // robots.txt into the rules state (RFC 9309 crawl-after-robots). Off =

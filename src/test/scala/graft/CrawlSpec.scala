@@ -188,6 +188,43 @@ class CrawlSpec extends AnyFunSuite {
       f"measured in-loop bloom FPR $fpr%.5f exceeds 2× configured ${cfg.bloomFpp}")
   }
 
+  test("adaptive sketch: undersized bloom converges to the FPR gate; crawl unchanged") {
+    def fpr(r: CrawlRound.RoundResult): Double = {
+      val tested = r.discovered - r.dedupedExact
+      if (tested == 0) 0.0 else (r.enqueued - r.dedupedBloomDefinite).toDouble / tested
+    }
+    // bloomExpectedPerPartition = 16 ⇒ 154 bits/partition for a fixture
+    // that accumulates hundreds of keys per partition: saturated on purpose
+    val tiny = cfg.copy(bloomExpectedPerPartition = 16, adaptiveSketch = true)
+    val (catA, resA, _) = runCrawl(tmp(), 2000, 16, 6, tiny)
+    val (catB, resB, _) = runCrawl(tmp(), 2000, 16, 6,
+      cfg.copy(bloomExpectedPerPartition = 16))
+    // committed crawl is byte-identical with the flag on or off: the bloom
+    // only pre-filters the exact anti-join, never decides membership
+    val proj = Seq("fetch_seq", "canon_url", "status", "scheduled_offset_ms", "text_sha256")
+    val a = Crawl.fullFetchLog(spark, catA).orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    val b = Crawl.fullFetchLog(spark, catB).orderBy("fetch_seq").select(proj.map(col): _*).collect()
+    assert(a.length == b.length && a.sameElements(b), "adaptive sizing changed the crawl")
+    // vacuity guard: the frozen undersized run really is saturated
+    val meas = (rs: Seq[CrawlRound.RoundResult]) =>
+      rs.filter(r => r.discovered - r.dedupedExact > 50)
+    assert(meas(resB).nonEmpty && fpr(meas(resB).last) > 2 * cfg.bloomFpp,
+      s"fixture not saturating: ${resB.map(fpr)}")
+    // the adaptive run's final measured round is back under the gate
+    assert(fpr(meas(resA).last) <= 2 * cfg.bloomFpp,
+      s"adaptive FPR did not converge: ${resA.map(fpr)}")
+    // and the committed snapshot's geometry actually grew from cfg's
+    val bytes = catA.load(spark, "url_seen").get
+      .select("sketch").head().getAs[Array[Byte]](0)
+    val bb = java.nio.ByteBuffer.wrap(bytes); bb.getInt(); bb.getInt()
+    assert(bb.getInt() > Crawl.bloomGeometry(16, cfg.bloomFpp)._1,
+      "committed sketch geometry never grew")
+    // resume inherits the resized geometry (a cfg-sized delta would fail to
+    // OR-merge): two more rounds on catalog A must not throw and stay green
+    val more = Crawl.runRounds(spark, catA, tiny, 2)
+    more.foreach(r => assert(r.textMismatches == 0))
+  }
+
   test("robots: no fetched URL violates its host's rules") {
     val (catalog, _, uni) = runCrawl(tmp(), 1000, 8, 3)
     val log = Crawl.fullFetchLog(spark, catalog)

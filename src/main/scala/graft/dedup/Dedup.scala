@@ -445,7 +445,23 @@ object Dedup {
     * agrees exactly on ≥1 chunk, so an equi-join on (chunk_idx, chunk_val)
     * finds all of them without an n² scan. `kernel = true` builds the
     * sketches through [[simhash64Kernel]] (the scale path); the default
-    * declarative build is what the DuckDB oracle mirrors. */
+    * declarative build is what the DuckDB oracle mirrors.
+    *
+    * The banding join runs over DISTINCT sketches only (one representative
+    * per sketch value), with identical-sketch groups handled by a dedicated
+    * dist-0 self-join and rep-pairs expanded back to member pairs by two
+    * hash joins. Rationale (r5 task-metrics profile, ×80 dup corpus at
+    * 1→4 cores): duplicate-heavy data concentrates whole dup groups into
+    * single (chunk_idx, chunk_val) buckets, and the within-bucket join is
+    * quadratic in GROUP MULTIPLICITY — measured as 2 straggler tasks owning
+    * 32s of a 56s stage (median task 0.5s), capping scaling at 72% with
+    * task-time inflation of only 1.07× (so: skew, not memory bandwidth).
+    * Collapsing first shrinks the quadratic stage by multiplicity² (1600×
+    * at ×80) and spreads the unavoidable quadratic OUTPUT across the
+    * expansion joins' hash partitioning. Dup-free data pays ~3 extra
+    * sketch-row-sized shuffles — noise next to the sketch build. The
+    * result SET is identical (groups are disjoint; least/greatest keeps
+    * the id_a < id_b normalization). */
   def simhashNearDupPairs(
       docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id", textCol: String = "text",
       hasher: DedupHasher = DedupHasher.crossEngine,
@@ -459,7 +475,16 @@ object Dedup {
       val w = if (c == nChunks - 1) SimhashBits - chunkShift(c) else width
       (1L << w) - 1L
     }
-    val chunked = sk.select(col(idCol).as("id"), col("simhash"),
+    val ids = sk.select(col(idCol).as("id"), col("simhash"))
+    val reps = ids.groupBy(col("simhash")).agg(min(col("id")).as("id"))
+    // identical sketches: every member pair is a dist-0 near-dup — no
+    // hamming work, no banding; per-key fanout is bounded by the largest
+    // exact-dup cluster (an upstream exactDedup pass is the design-point
+    // answer when that itself is pathological)
+    val intra = ids.as("x").join(ids.as("y"), Seq("simhash"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), lit(0).as("hamming"))
+    val chunked = reps.select(col("id"), col("simhash"),
       posexplode(array((0 until nChunks).map { c =>
         shiftrightunsigned(col("simhash"), chunkShift(c)).bitwiseAND(chunkMask(c))
       }: _*)).as(Seq("chunk_idx", "chunk_val")))
@@ -479,12 +504,21 @@ object Dedup {
     val firstAgreeingChunk = (0 until nChunks).foldRight(lit(nChunks): Column) {
       (c, els) => when(chunkAgrees(c), lit(c)).otherwise(els)
     }
-    chunked.as("x").join(chunked.as("y"), Seq("chunk_idx", "chunk_val"))
+    val repPairs = chunked.as("x").join(chunked.as("y"), Seq("chunk_idx", "chunk_val"))
       .filter(col("x.id") < col("y.id"))
       .filter(col("chunk_idx") === firstAgreeingChunk)
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+      .select(col("x.simhash").as("sk_a"), col("y.simhash").as("sk_b"),
         bit_count(xorCol).as("hamming"))
       .filter(col("hamming") <= maxDist)
+    // expand each qualifying sketch pair to its member pairs: two hash
+    // joins distribute the quadratic output by sketch value; pairs are
+    // unique because sketch groups are disjoint and a rep pair occurs once
+    val cross = repPairs
+      .join(ids.as("a"), col("sk_a") === col("a.simhash"))
+      .join(ids.as("b"), col("sk_b") === col("b.simhash"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"), col("hamming"))
+    intra.unionByName(cross)
   }
 
   // --- embedding cosine near-dup --------------------------------------------

@@ -46,7 +46,11 @@ object Bench {
     // — the broadcast tier's sketch collect forces the round's discovery
     // branch on the foreground thread before the next round can start
     sketchDelivery = sys.env.getOrElse("SPARK_GRAFT_SKETCH_DELIVERY", "mapside"),
-    commitPipelining = sys.env.getOrElse("SPARK_GRAFT_PIPELINE", "on") != "off")
+    commitPipelining = sys.env.getOrElse("SPARK_GRAFT_PIPELINE", "on") != "off",
+    // hop tier for the pipelined cross-round frames: "cache" (default) or
+    // "checkpoint" (cluster-durable) — lets the scaling bench price the
+    // durable tier's extra write+read against the cache hop
+    pipelineHop = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_HOP", "cache"))
 
   /** Bootstrap `catalogDir` from `corpusDir` (ingest: canonicalize + seed). */
   def bootstrapCatalog(spark: SparkSession, corpusDir: String, catalogDir: String,

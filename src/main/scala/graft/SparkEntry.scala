@@ -358,10 +358,15 @@ object SparkEntry {
     }),
 
     "q23_token_counts" -> ((s, d) => {
+      // bpe_tokens through the one-pass JVM kernel (bit-identical to the
+      // regexp_extract_all form the oracle mirrors — PipelineSpec pins
+      // parity incl. unicode/whitespace edge cases): one code-point scan
+      // per row instead of materializing every match into an array, and
+      // no java.util.regex JIT sensitivity (the r4 q23 bench anomaly)
       t(s, d, "documents")
         .select(col("doc_id"),
           TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
-          TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+          TextAnalysis.bpeTokenCountUdf(col("text")).as("bpe_tokens"))
         .orderBy(col("doc_id"))
     }),
 

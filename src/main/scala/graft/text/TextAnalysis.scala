@@ -229,6 +229,42 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
+  /** One-pass JVM mirror of [[bpeTokenCount]]. The alternation
+    * `[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]` decomposes exactly into
+    * (maximal ASCII-letter runs) + (every other non-whitespace code
+    * point), counted in a single scan with zero allocation —
+    * `regexp_extract_all` materializes every match into an array just to
+    * take its size, and its first use pays java.util.regex JIT (the
+    * r4→r5 q23 bench anomaly: ~1 s of C2 warm-up landing inside one
+    * query's timed window). Iterates CODE POINTS, not chars: Java regex
+    * matches `[^…]` once per code point, so a surrogate-pair glyph is ONE
+    * token. `\s` is Java's [ \t\n\x0B\f\r] — the semantics the
+    * declarative twin has today. Parity is spec-pinned (PipelineSpec). */
+  def bpeTokenCountKernel(text: String): java.lang.Long = {
+    if (text == null) return null
+    var i = 0
+    var n = 0L
+    var inLetterRun = false
+    val len = text.length
+    while (i < len) {
+      val cp = text.codePointAt(i)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) {
+        if (!inLetterRun) { n += 1; inLetterRun = true }
+      } else {
+        inLetterRun = false
+        val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+          cp == '\f' || cp == '\r'
+        if (!ws) n += 1 // a digit or any other glyph: one token each
+      }
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
+  /** Column form of [[bpeTokenCountKernel]]. */
+  val bpeTokenCountUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf(bpeTokenCountKernel _)
+
   // --- fingerprinting -------------------------------------------------------
 
   /** Content fingerprint: md5 of the normalized text — the exact-dedup key. */

@@ -246,6 +246,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe-token-count kernel ≡ declarative regexp_extract_all (q23 oracle contract)") {
+    val texts = Seq(
+      "",
+      "hello world",
+      "Hello, World! 42 times...",     // letter runs, digits one-each, punct one-each
+      "1234567890",                    // 10 single-digit tokens, zero runs
+      "a1b2c3 --- ??? abcXYZ",
+      "tabs\tand\nnewlines\u000Bvt\ffeed\rcr end", // every Java \s class member
+      "café naïve über", // non-ASCII letters: one token per code point
+      "emoji 😀 pair",       // surrogate pair = ONE code point = ONE token
+      "  leading and trailing   ",
+      null)
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val declarative = d.select(col("doc_id"), TextAnalysis.bpeTokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    val kernel = d.select(col("doc_id"), TextAnalysis.bpeTokenCountUdf($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))).toMap
+    texts.indices.foreach { i =>
+      assert(kernel(i.toLong) == declarative(i.toLong),
+        s"kernel/declarative bpe-token divergence on doc $i: " +
+          s"kernel=${kernel(i.toLong)} declarative=${declarative(i.toLong)}")
+    }
+    // and over a generated varied corpus, not just adversarial literals
+    val gen = (0 until 400).map { i =>
+      val words = (0 until 20 + i % 13).map(j => s"word${(i * 31 + j * 7) % 97}")
+      (i.toLong, words.mkString(" ") + s" — n°$i! (${i * 37 % 1000})")
+    }
+    val both = docs(gen: _*).select(
+      TextAnalysis.bpeTokenCount($"text").as("a"),
+      TextAnalysis.bpeTokenCountUdf($"text").as("b"))
+    assert(both.filter(!(col("a") <=> col("b"))).count() == 0L)
+  }
+
   test("winnowing kernel ≡ declarative higher-order form (the q35 oracle contract)") {
     val texts = Seq(
       "",

@@ -67,15 +67,12 @@ object Crawl {
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.fetchLog)
 
   /** Bloom (numBits, numHashes) for an expected-items-per-partition target
-    * at false-positive rate `fpp` — the standard m = −n·ln p / ln²2 sizing,
-    * floored at one word and capped at the serializable max. */
-  def bloomGeometry(expected: Long, fpp: Double): (Int, Int) = {
-    val bits = math.max(64L,
-      math.ceil(-expected * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-      .min(Int.MaxValue.toLong - 64).toInt
-    val k = math.max(1, math.round(bits.toDouble / expected * math.log(2)).toInt)
-    (bits, k)
-  }
+    * at false-positive rate `fpp`. Delegates to [[graft.sketch.BloomFilter
+    * .geometry]] — the single sizing authority; a second copy of the math
+    * here would let the loop and `create()` silently desynchronize, and
+    * the adaptive path depends on exact geometry equality. */
+  def bloomGeometry(expected: Long, fpp: Double): (Int, Int) =
+    graft.sketch.BloomFilter.geometry(expected, fpp)
 
   /** Per-partition sketch rows for a batch of new canon_urls. `geometry`
     * overrides the cfg-derived bloom size (adaptiveSketch resizes). */
@@ -295,13 +292,18 @@ object Crawl {
     val adaptive = cfg.adaptiveSketch && cfg.filterKind == "bloom"
     var bloomGeo = bloomGeometry(cfg.bloomExpectedPerPartition, cfg.bloomFpp)
     var sketchRebuild = false
-    var seenTotal: Long =
-      (0 until startRound).map(r => catalog.metricsOf(r).getOrElse("enqueued", 0L)).sum
-    if (adaptive) urlSeenPrev.foreach { prev =>
+    // settled results for rounds below this probed a pre-rebuild snapshot;
+    // their FPR must not re-trigger a resize (each spurious trigger costs a
+    // full rebuild scan of the exact seen store)
+    var fprMuteBelow = 0
+    if (cfg.filterKind == "bloom") urlSeenPrev.foreach { prev =>
       // resume adopts the COMMITTED geometry, not cfg's: a prior run may
-      // have resized, and a delta at any other size cannot OR-merge into
-      // the committed rows (BloomFilter.merge throws on geometry mismatch).
-      // One sketch-row header read — driver-tiny, once per runRounds.
+      // have resized (adaptiveSketch — possibly on, then, and off, now),
+      // and a delta at any other size cannot OR-merge into the committed
+      // rows (BloomFilter.merge throws on geometry mismatch). Adoption is
+      // therefore unconditional for the bloom tier, NOT gated on the
+      // adaptive flag. One sketch-row header read — driver-tiny, once per
+      // runRounds.
       prev.select("sketch").head(1).headOption.foreach { row =>
         val bb = java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](0))
         bb.getInt(); bb.getInt() // magic, version
@@ -328,7 +330,6 @@ object Crawl {
       retired = f.frames
       results += res
       lastRes = Some(res)
-      seenTotal += res.enqueued
       inFlight = None
     }
     // a robots-only round (in-loop acquisition) is progress: candidates
@@ -342,26 +343,26 @@ object Crawl {
       while (continue && round < startRound + maxRounds) {
         if (lastRes.exists(noProgress)) { continue = false }
         else {
-          // adaptive sizing: consult the last settled round's lineage. One
-          // signal per settled round; the resize targets 2× the cumulative
-          // seen count, so ONE rebuild restores headroom (doubling-only
-          // would crawl out of a badly undersized start one round at a
-          // time). The resized geometry applies to the sketch built THIS
-          // round — the probe this round still reads the previous snapshot.
+          // adaptive sizing: consult the last settled round's lineage. The
+          // check only SCHEDULES the rebuild — sizing happens at rebuild
+          // time from the actual exact-store count, because here the
+          // settled counters lag the loop by up to two rounds (pipelined
+          // commits) and a target derived from them births the new sketch
+          // already saturated under geometric frontier growth.
           if (adaptive) lastRes.foreach { r =>
             val tested = r.discovered - r.dedupedExact // bloom-tested negatives
             val fp = r.enqueued - r.dedupedBloomDefinite // verified-new "might"s
-            if (tested > 0 && fp.toDouble / tested > 2 * cfg.bloomFpp) {
-              val target = math.max(2L * seenTotal / cfg.numPartitions,
-                cfg.bloomExpectedPerPartition)
-              val geo = bloomGeometry(target, cfg.bloomFpp)
-              if (geo._1 > bloomGeo._1) {
-                if (timing) System.err.println(
-                  f"[crawl] adaptive sketch: measured FPR ${fp.toDouble / tested}%.4f > " +
-                    f"2x${cfg.bloomFpp}; rebuilding at ${geo._1} bits (was ${bloomGeo._1})")
-                bloomGeo = geo
-                sketchRebuild = true
-              }
+            // hysteresis: a rebuild at round N first serves probes in round
+            // N+1, so results settled for rounds ≤ N still measured the OLD
+            // snapshot's FPR — acting on them would re-fire the rebuild (a
+            // full exact-store scan) 1-2 more times for one saturation event
+            if (r.round >= fprMuteBelow &&
+                tested > 0 && fp.toDouble / tested > 2 * cfg.bloomFpp) {
+              if (timing) System.err.println(
+                f"[crawl] adaptive sketch: round ${r.round} measured FPR " +
+                  f"${fp.toDouble / tested}%.4f > 2x${cfg.bloomFpp}; rebuild scheduled")
+              sketchRebuild = true
+              fprMuteBelow = round + 1
             }
           }
           val tRound = System.nanoTime()
@@ -392,20 +393,42 @@ object Crawl {
             robotsRules, cfg, round, base, robotsSource, hostRanks)
           live ++= out.persisted
           val tRun = phase("run+rank", tRound)
-          val geo = if (adaptive) Some(bloomGeo) else None
-          val sketchNext =
-            if (sketchRebuild) {
-              // resize = REBUILD from the exact store (the ground truth):
-              // blooms of different geometry cannot OR-merge. One full scan
-              // of the seen keys at the new size, then delta-merge resumes.
+          // always pass the loop's geometry for the bloom tier: on resume it
+          // is the COMMITTED geometry (which may differ from cfg's if a
+          // prior adaptive run resized) — deltas must match it to OR-merge
+          val geo = if (cfg.filterKind == "bloom") Some(bloomGeo) else None
+          // resize = REBUILD from the exact store (the ground truth): blooms
+          // of different geometry cannot OR-merge. Sized HERE from the
+          // actual key count — one extra count job over the committed store
+          // + this round's cached keys, paid only on the rare (hysteresis-
+          // spaced) rebuild — so the new sketch carries 2× headroom over
+          // what it will really hold, not over a two-round-stale counter.
+          val rebuildGeo: Option[(Int, Int)] =
+            if (!sketchRebuild) None
+            else {
               sketchRebuild = false
+              val n = seenExact.select("canon_url").unionByName(out.newKeys).count()
+              val target = math.max(
+                2L * n / cfg.numPartitions, cfg.bloomExpectedPerPartition)
+              val g = bloomGeometry(target, cfg.bloomFpp)
+              // a same-or-smaller-size rebuild reproduces the merged bits
+              // exactly (same keys, same geometry) — skip the scan
+              if (g._1 > bloomGeo._1) Some(g) else None
+            }
+          val rebuiltThisRound = rebuildGeo.isDefined
+          val sketchNext = rebuildGeo match {
+            case Some(g) =>
+              if (timing) System.err.println(
+                s"[crawl] adaptive sketch: rebuilding at ${g._1} bits (was ${bloomGeo._1})")
+              bloomGeo = g
               buildSketchDelta(spark,
-                seenExact.select("canon_url").unionByName(out.newKeys), cfg, geo)
-            } else urlSeenPrev match {
+                seenExact.select("canon_url").unionByName(out.newKeys), cfg, Some(g))
+            case None => urlSeenPrev match {
               case Some(prev) =>
                 mergeSketches(prev, buildSketchDelta(spark, out.newKeys, cfg, geo))
               case None => buildSketchDelta(spark, out.newKeys, cfg, geo)
             }
+          }
           sketchNext.persist(); live += sketchNext
           out.frontierNext.persist() // backs the write, the lineage agg AND next round's input
           live += out.frontierNext
@@ -449,7 +472,10 @@ object Crawl {
                   "robots_denied" -> r.robotsDenied,
                   "deduped_bloom_definite" -> r.dedupedBloomDefinite,
                   "deduped_exact" -> r.dedupedExact,
-                  "text_mismatches" -> r.textMismatches)
+                  "text_mismatches" -> r.textMismatches,
+                  // driver-known: did THIS round's sketch come from a full
+                  // adaptive rebuild? (observability + the hysteresis spec)
+                  "sketch_rebuilt" -> (if (rebuiltThisRound) 1L else 0L))
               },
                 // the monotone seen set is committed as a DELTA (this
                 // round's new keys, already cached) — never a full rewrite.

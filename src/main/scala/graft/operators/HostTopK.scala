@@ -89,8 +89,13 @@ object HostTopK {
     override def reduce(
         h: scala.collection.mutable.ArrayBuffer[Cand],
         c: Cand): scala.collection.mutable.ArrayBuffer[Cand] = {
-      if (h.length < kOf(c.host)) { h += c; siftUp(h, h.length - 1) }
-      else if (candOrd.lt(c, h(0))) { h(0) = c; siftDown(h) }
+      val k = kOf(c.host)
+      // k ≤ 0 is a legal politeness tier ("banned host keeps nothing") —
+      // without the guard the else branch reads h(0) on an empty heap
+      if (k > 0) {
+        if (h.length < k) { h += c; siftUp(h, h.length - 1) }
+        else if (candOrd.lt(c, h(0))) { h(0) = c; siftDown(h) }
+      }
       h
     }
 

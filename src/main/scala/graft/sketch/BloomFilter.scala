@@ -71,11 +71,22 @@ object BloomFilter {
   }
   def mix2(z0: Long): Long = mix1(z0 + 0x632be59bd9b4e019L)
 
-  /** Size for `n` expected items at false-positive rate `fpp`. */
-  def create(n: Long, fpp: Double): BloomFilter = {
+  /** (numBits, numHashes) for `n` expected items at false-positive rate
+    * `fpp` — the standard m = −n·ln p / ln²2 sizing, floored at one word
+    * and capped at the serializable max. THE single sizing authority: the
+    * crawl loop's adaptive resizing and resume-header adoption depend on
+    * exact geometry equality (merge requires on it), so every sizing
+    * decision must flow through here. */
+  def geometry(n: Long, fpp: Double): (Int, Int) = {
     val bits0 = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val bits = math.max(64L, math.min(bits0, Int.MaxValue.toLong - 64)).toInt
     val k = math.max(1, math.round(bits.toDouble / n * math.log(2)).toInt)
+    (bits, k)
+  }
+
+  /** Size for `n` expected items at false-positive rate `fpp`. */
+  def create(n: Long, fpp: Double): BloomFilter = {
+    val (bits, k) = geometry(n, fpp)
     new BloomFilter(bits, k, new Array[Long]((bits + 63) >>> 6))
   }
 

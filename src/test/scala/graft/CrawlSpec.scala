@@ -92,14 +92,17 @@ class CrawlSpec extends AnyFunSuite {
   test("op 38: per-host variable budgets — each host caps at ITS k, rank prefix preserved") {
     import spark.implicits._
     // operator level: three hosts, override two of them
-    val cands = for { h <- 0 until 3; i <- 0 until 20 }
+    val cands = for { h <- 0 until 4; i <- 0 until 20 }
       yield (f"https://b$h.com/p$i%02d", f"https://b$h.com/p$i%02d",
         s"b$h.com", s"com.b$h", i % 4, 0, null.asInstanceOf[String])
     val df = cands.toDF("canon_url", "raw_url", "host", "host_rev",
       "depth", "discovery_round", "src_url")
-    val out = graft.operators.HostTopK.hostTopK(df, 5, Map("b1.com" -> 2, "b2.com" -> 11))
+    val out = graft.operators.HostTopK.hostTopK(df, 5,
+      Map("b1.com" -> 2, "b2.com" -> 11, "b3.com" -> 0))
     val counts = out.groupBy("host").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b3's budget 0 is the "banned host" politeness tier: keeps NOTHING
+    // (regression: an empty heap used to be indexed on the reject path)
     assert(counts == Map("b0.com" -> 5L, "b1.com" -> 2L, "b2.com" -> 11L))
     // survivors are the PREFIX of the per-host priority order (depth,
     // discovery_round, canon_url): depth-0 candidates are i ∈ {0,4,8,12,16}
@@ -223,6 +226,24 @@ class CrawlSpec extends AnyFunSuite {
     // OR-merge): two more rounds on catalog A must not throw and stay green
     val more = Crawl.runRounds(spark, catA, tiny, 2)
     more.foreach(r => assert(r.textMismatches == 0))
+    // ...and geometry adoption must NOT be gated on the adaptive flag: the
+    // same resized catalog resumed with adaptiveSketch=false builds its
+    // deltas at the COMMITTED geometry (regression: cfg-sized deltas threw
+    // a bloom geometry mismatch on the first merge)
+    val moreOff = Crawl.runRounds(spark, catA,
+      cfg.copy(bloomExpectedPerPartition = 16), 1)
+    moreOff.foreach(r => assert(r.textMismatches == 0))
+    // hysteresis: a rebuild at round N first serves probes at N+1, so the
+    // earliest legal re-trigger lands at N+2 — consecutive rebuild rounds
+    // mean the stale-FPR signal re-fired on the pre-rebuild snapshot
+    val rebuiltRounds = (1 to catA.latestRound.get)
+      .filter(r => catA.metricsOf(r).getOrElse("sketch_rebuilt", 0L) == 1L)
+    assert(rebuiltRounds.nonEmpty, "fixture never rebuilt — hysteresis unexercised")
+    rebuiltRounds.sliding(2).foreach {
+      case Seq(a2, b2) => assert(b2 - a2 >= 2,
+        s"consecutive adaptive rebuilds at rounds $a2,$b2 — stale-FPR re-fire")
+      case _ =>
+    }
   }
 
   test("robots: no fetched URL violates its host's rules") {
@@ -305,8 +326,11 @@ class CrawlSpec extends AnyFunSuite {
     assert(sig(resA) == sig(resC), "checkpoint-hop run diverged from cache-hop run")
     // the checkpoint hop actually wrote durable frames (lineage truncation
     // is real, not a silent fall-through to the cache tier)
-    val ckptFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
-      .iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
+    val ckptFiles = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      try walk.iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
+      finally walk.close() // the stream holds open directory handles
+    }
     assert(ckptFiles > 0, "checkpoint dir is empty — no frame was durably hopped")
     // identical committed rounds: the speculative post-drain round left no trace
     assert(catA.latestRound == catB.latestRound && catA.latestRound == catC.latestRound)

@@ -641,6 +641,38 @@ object SparkEntry {
         .orderBy(col("host"))
     }),
 
+    "q48_crawl_delay" -> ((s, d) => {
+      // robots Crawl-delay → per-host politeness spacing (ops 13 × 48):
+      // parse the directive with robots group semantics (exact-UA group
+      // beats *, max-of-group wins, fractional seconds legal), then run
+      // ranks 1..6 through the delay-aware closed form
+      // (TokenBucket.offsetByRankDelay; burst 2, 2 fetches/s default →
+      // 500 ms step, so a declared delay always dominates here). The
+      // oracle restates the expected delays as a CASE by construction.
+      val hosts = t(s, d, "customer")
+        .select(pmod(col("c_custkey"), lit(60)).as("id")).distinct()
+      val robots = hosts.select(
+        concat(lit("d"), col("id"), lit(".com")).as("host"),
+        col("id"),
+        when(pmod(col("id"), lit(3)) === 0,
+          concat(lit("User-agent: *\nCrawl-delay: "),
+            lit(1) + pmod(col("id"), lit(5)), lit("\nDisallow: /priv")))
+          .when(pmod(col("id"), lit(3)) === 1,
+            lit("User-agent: crawlerspark\nCrawl-delay: 2.5\n\n" +
+              "User-agent: *\nCrawl-delay: 9"))
+          .otherwise(lit("User-agent: *\nDisallow:")).as("robots_body"))
+        .withColumn("crawl_delay_ms",
+          CrawlUdfs.robots_crawl_delay_ms(col("robots_body"), lit("crawlerspark")))
+      robots
+        .select(col("host"), col("crawl_delay_ms"),
+          explode(sequence(lit(1), lit(6))).as("host_rank"))
+        .withColumn("scheduled_offset_ms", graft.crawl.TokenBucket
+          .offsetByRankDelay(col("host_rank"), 2, 2.0, col("crawl_delay_ms")))
+        .select(col("host"), col("host_rank").cast("long").as("host_rank"),
+          col("crawl_delay_ms"), col("scheduled_offset_ms"))
+        .orderBy(col("host"), col("host_rank"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1195,6 +1227,21 @@ object SparkEntry {
         |SELECT canon_url, host, host_rank FROM r
         |WHERE host_rank <= CASE host WHEN 'h3.com' THEN 2 WHEN 'h7.com' THEN 9 ELSE 4 END
         |ORDER BY canon_url""".stripMargin,
+
+    "q48_crawl_delay" ->
+      """WITH ids AS (SELECT DISTINCT c_custkey % 60 AS id FROM customer),
+        |r AS (SELECT id, unnest(generate_series(1, 6)) AS host_rank FROM ids),
+        |d AS (SELECT id, host_rank,
+        |  CASE WHEN id % 3 = 0 THEN (1 + id % 5) * 1000
+        |       WHEN id % 3 = 1 THEN 2500 END AS delay_ms
+        | FROM r)
+        |SELECT 'd' || id || '.com' AS host,
+        | CAST(host_rank AS BIGINT) AS host_rank,
+        | CAST(delay_ms AS BIGINT) AS crawl_delay_ms,
+        | CAST(CASE WHEN delay_ms IS NULL THEN greatest(0, host_rank - 2) * 500
+        |      ELSE (host_rank - 1) * greatest(delay_ms, 500) END AS BIGINT)
+        |   AS scheduled_offset_ms
+        |FROM d ORDER BY host, host_rank""".stripMargin,
 
     "q29_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, ${sqlQv("embedding")} AS qv FROM embeddings),

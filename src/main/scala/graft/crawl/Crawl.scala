@@ -44,7 +44,12 @@ object Crawl {
     // source table is committed either way (it is "the web's" robots.txt)
     val parsedRules = robotsRaw
       .withColumn("rules", CrawlUdfs.robots_parse(col("robots_body")))
-      .select("host", "rules")
+      // Crawl-delay resolved against THIS crawl's user-agent at parse time
+      // (the table is per-crawl state, so binding ua here is lossless) —
+      // the loop feeds it to the token-bucket as a per-host spacing floor
+      .withColumn("crawl_delay_ms",
+        CrawlUdfs.robots_crawl_delay_ms(col("robots_body"), lit(cfg.userAgent)))
+      .select("host", "rules", "crawl_delay_ms")
     val robotsRules = if (cfg.robotsFetchInLoop) parsedRules.limit(0) else parsedRules
 
     val frontier0 = CrawlRound.seedFrontier(spark, seeds)

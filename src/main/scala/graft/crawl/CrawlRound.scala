@@ -253,7 +253,10 @@ object CrawlRound {
         val nMissing = missingHosts.count()
         val fetchedRules = missingHosts.join(src, Seq("host"), "left_outer")
           .withColumn("rules", CrawlUdfs.robots_parse(col("robots_body")))
-          .select("host", "rules") // missing robots.txt → empty rules = allow (RFC 9309)
+          .withColumn("crawl_delay_ms",
+            CrawlUdfs.robots_crawl_delay_ms(col("robots_body"), lit(cfg.userAgent)))
+          // missing robots.txt → empty rules = allow (RFC 9309), no delay
+          .select("host", "rules", "crawl_delay_ms")
         val eligibleNow = eligibleAll.join(broadcast(missingHosts), Seq("host"), "left_anti")
         (eligibleNow, Some(fetchedRules), Some(missingHosts), nMissing)
     }
@@ -265,7 +268,11 @@ object CrawlRound {
     val denied = judged.filter(!col("allowed"))
       .select(FrontierCols.map(col): _*)
     denied.persist() // committed as its own table; backs the lineage agg too
-    val allowed = judged.filter(col("allowed")).drop("rules", "allowed")
+    // crawl_delay_ms (if the rules table carries it) is dropped here and
+    // re-joined at the schedule step — the budget aggregate between them
+    // must not widen its per-heap state for a column it never reads
+    val allowed = judged.filter(col("allowed"))
+      .drop("rules", "allowed", "crawl_delay_ms")
 
     // ---- 3. host budget (ops 38/47/49): bounded per-host top-k AGGREGATE —
     // map-side partial aggregation caps every mapper's contribution at k
@@ -329,7 +336,23 @@ object CrawlRound {
     val clustered =
       if (cfg.roundBudget == Int.MaxValue) scheduledCand.select(schedCols: _*)
       else politenessLayout(scheduledCand.select(schedCols: _*), cfg)
-    val scheduled = TokenBucket.scheduleByRank(clustered, cfg.burst, cfg.ratePerSec)
+    // robots Crawl-delay (op 13 × 48): hosts that declare one get a per-host
+    // spacing floor in the closed form. The delay column rides a SECOND
+    // broadcast join against the (already broadcast-sized) rules table —
+    // threading it through the budget aggregate would widen HostTopK's
+    // per-heap state for a column the budget never reads. The broadcast hash
+    // join streams the probe side, so the clustered layout and within-
+    // partition order survive intact (the salting-legality contract holds:
+    // the delayed form is still a stateless per-row projection).
+    val delayed =
+      if (robotsRules.columns.contains("crawl_delay_ms")) {
+        val hostDelays = robotsRules.filter(col("crawl_delay_ms").isNotNull)
+          .select(col("host"), col("crawl_delay_ms"))
+        clustered.join(broadcast(hostDelays), Seq("host"), "left_outer")
+      } else clustered.withColumn("crawl_delay_ms", lit(null).cast("long"))
+    val scheduled = TokenBucket
+      .scheduleByRankDelay(delayed, cfg.burst, cfg.ratePerSec)
+      .drop("crawl_delay_ms")
     scheduled.persist() // reused by the fetch join AND the frontier anti-join
 
     // ---- 6. fetch = equi-join vs canonical corpus (op 27); left_outer keeps 404s

@@ -50,6 +50,11 @@ object CrawlUdfs {
       else rules.map(t => RobotRule(t._1, t._2, t._3)).toArray,
       ua, path))
 
+  /** (robots body, ua) → Crawl-delay in ms, null when undeclared (op 13
+    * extension; group-selection semantics mirror robots_allows). */
+  val robotsCrawlDelayUdf = udf((body: String, ua: String) =>
+    Robots.crawlDelayMs(body, ua))
+
   /** (base, href) → absolute url or null (RFC 3986 §5.2 resolution). */
   val resolveUdf = udf((base: String, ref: String) => UrlCanon.resolve(base, ref))
 
@@ -59,6 +64,8 @@ object CrawlUdfs {
   def robots_parse(body: Column): Column = robotsParseUdf(body)
   def robots_allows(rules: Column, ua: Column, path: Column): Column =
     robotsAllowsUdf(rules, ua, path)
+  def robots_crawl_delay_ms(body: Column, ua: Column): Column =
+    robotsCrawlDelayUdf(body, ua)
 
   /** Path+query part of a canonical URL — cheap native ops, no UDF. */
   def urlPath(canonUrl: Column): Column = {
@@ -73,6 +80,7 @@ object CrawlUdfs {
     spark.udf.register("extract_text", extractTextUdf)
     spark.udf.register("robots_parse", robotsParseUdf)
     spark.udf.register("robots_allows", robotsAllowsUdf)
+    spark.udf.register("robots_crawl_delay_ms", robotsCrawlDelayUdf)
     spark.udf.register("resolve_url", resolveUdf)
     UrlExpressions.register(spark)
   }

@@ -54,6 +54,53 @@ object Robots {
     out.toArray
   }
 
+  /** `Crawl-delay` for `ua`, in milliseconds. The directive is non-standard
+    * (absent from RFC 9309; Google ignores it, Bing/Yandex honor it) —
+    * honoring it is strictly more polite, so the engine does. Group
+    * selection mirrors [[allows]]/[[groupFor]]: entries from matching
+    * exact-UA groups beat `*` groups; within the selected tier the MAX
+    * delay wins (the conservative read of a self-contradictory file).
+    * Fractional seconds accepted; non-numeric / negative / non-finite
+    * values are ignored, as is the directive's absence → None. */
+  def crawlDelayMs(body: String, ua: String): Option[Long] = {
+    if (body == null) return None
+    val entries = new scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    var agents = List.empty[String]
+    var inGroupRules = false
+    body.linesIterator.foreach { lineRaw =>
+      val line = {
+        val h = lineRaw.indexOf('#')
+        (if (h >= 0) lineRaw.substring(0, h) else lineRaw).trim
+      }
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          key match {
+            case "user-agent" =>
+              if (inGroupRules) { agents = Nil; inGroupRules = false }
+              agents = value.toLowerCase(java.util.Locale.ROOT) :: agents
+            case "crawl-delay" =>
+              inGroupRules = true
+              val secs = value.toDoubleOption
+              secs.filter(s => s >= 0.0 && !s.isInfinite && !s.isNaN).foreach { s =>
+                val ms = math.ceil(s * 1000.0).toLong
+                val ags = if (agents.isEmpty) List("*") else agents
+                ags.foreach(a => entries += a -> ms)
+              }
+            case _ => inGroupRules = true
+          }
+        }
+      }
+    }
+    val u = if (ua == null) "*" else ua.toLowerCase(java.util.Locale.ROOT)
+    val exact = entries.collect { case (a, ms) if a != "*" && u.contains(a) => ms }
+    val tier = if (exact.nonEmpty) exact.toSeq
+               else entries.collect { case ("*", ms) => ms }.toSeq
+    if (tier.isEmpty) None else Some(tier.max)
+  }
+
   /** True if `pattern` (with `*` wildcards, optional trailing `$`) matches a
     * prefix of `path`. Returns match specificity = pattern length, or -1. */
   def matchLen(pattern: String, path: String): Int = {

@@ -89,6 +89,67 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("token bucket: per-host crawl-delay — closed form ≡ stateful; max(delay, step) floor") {
+    import spark.implicits._
+    // h0: delay dominates the 500ms step (rate 2.0); h1: no delay (default
+    // burst path untouched); h2: declared delay SMALLER than the step — the
+    // client's own rate floor must win
+    val delays = Map("h0.com" -> 2700L, "h2.com" -> 100L)
+    val cands = (for {
+      h <- 0 until 3
+      i <- 0 until 25
+    } yield Candidate(f"https://h$h.com/p$i%03d", s"h$h.com", s"com.h$h", 0, 0, i + 1))
+      .toDS().repartition(2, col("host"))
+      .sortWithinPartitions(col("host"), col("canon_url"))
+    val stateful = TokenBucket.schedule(cands.as[Candidate], 4, 2.0, delays.get)
+      .toDF().select("canon_url", "scheduled_offset_ms").as[(String, Long)].collect().toMap
+    val closed = TokenBucket.scheduleByRankDelay(
+      cands.toDF().withColumn("crawl_delay_ms",
+        when(col("host") === "h0.com", 2700L)
+          .when(col("host") === "h2.com", 100L)),
+      4, 2.0)
+      .select("canon_url", "scheduled_offset_ms").as[(String, Long)].collect().toMap
+    assert(stateful == closed, "delay-aware closed form diverged from stateful bucket")
+    // spot semantics: delayed host spaces from fetch #1 (no burst), floor wins
+    assert(stateful("https://h0.com/p000") == 0L && stateful("https://h0.com/p003") == 3 * 2700L)
+    assert(stateful("https://h2.com/p003") == 3 * 500L) // 100ms demand < own 500ms step
+    assert(stateful("https://h1.com/p003") == 0L) // within burst 4, untouched default
+  }
+
+  test("robots crawl-delay: declared hosts get (rank-1)·delay spacing end-to-end") {
+    import spark.implicits._
+    val uni = FixtureGen.Universe(800)
+    val pages = spark.range(800).map(p => uni.pageRow(p)).toDF()
+    // every third host declares a 3s delay on top of its fixture rules
+    def delayedHost(i: Int): Boolean = i % 3 == 0
+    val robots = (0 until uni.nHosts).flatMap { i =>
+      val base = uni.robotsBody(i)
+      if (delayedHost(i))
+        Some(uni.host(i) -> ("User-agent: *\nCrawl-delay: 3\n" + base.getOrElse("Disallow:")))
+      else base.map(b => uni.host(i) -> b)
+    }.toDF("host", "robots_body")
+    val catalog = new HadoopSnapshotCatalog(tmp())
+    Crawl.bootstrap(spark, catalog, pages, robots, uni.seeds(12), cfg)
+    val results = Crawl.runRounds(spark, catalog, cfg, 2)
+    assert(results.map(_.fetched).sum > 0)
+    val delayed = (0 until uni.nHosts).filter(delayedHost).map(uni.host).toSet
+    import graft.functions.UrlExpressions.url_host
+    val log = Crawl.fullFetchLog(spark, catalog)
+      .withColumn("host", url_host(col("canon_url")))
+    val byHost = log.select("round", "host", "scheduled_offset_ms")
+      .as[(Int, String, Long)].collect()
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted).toMap
+    assert(byHost.keys.exists(k => delayed(k._2)), "no delayed host was ever fetched")
+    val step = math.ceil(1000.0 / cfg.ratePerSec).toLong
+    byHost.foreach { case ((round, host), offs) =>
+      val expected =
+        if (delayed(host)) offs.indices.map(_ * 3000L) // spacing from fetch #1
+        else offs.indices.map(r => math.max(0L, r.toLong - cfg.burst + 1) * step)
+      assert(offs.toSeq == expected,
+        s"round $round host $host: offsets ${offs.toSeq} != $expected")
+    }
+  }
+
   test("op 38: per-host variable budgets — each host caps at ITS k, rank prefix preserved") {
     import spark.implicits._
     // operator level: three hosts, override two of them

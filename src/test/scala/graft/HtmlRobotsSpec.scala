@@ -185,4 +185,33 @@ class HtmlRobotsSpec extends AnyFunSuite {
     assert(Robots.allows(Robots.parse(""), "x", "/"))
     assert(Robots.allows(Robots.parse("User-agent: *\nDisallow:"), "x", "/any"))
   }
+
+  test("robots: crawl-delay — group selection, fractions, max-of-group, junk ignored") {
+    // exact-UA group beats *; fractional seconds round UP to ms
+    val body =
+      """User-agent: crawlerspark
+        |Crawl-delay: 2.5
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 9""".stripMargin
+    assert(Robots.crawlDelayMs(body, "crawlerspark") == Some(2500L))
+    assert(Robots.crawlDelayMs(body, "otherbot") == Some(9000L))
+    // self-contradictory file → conservative max within the selected tier
+    assert(Robots.crawlDelayMs(
+      "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 1", "x") == Some(3000L))
+    // directive before any UA line binds to the implicit * group; key is
+    // case-insensitive; inline comments stripped
+    assert(Robots.crawlDelayMs("CRAWL-DELAY: 4 # be nice", "x") == Some(4000L))
+    // junk / negative / absent → None (Google-style ignore, never a throw)
+    assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: soon", "x").isEmpty)
+    assert(Robots.crawlDelayMs("User-agent: *\nCrawl-delay: -2", "x").isEmpty)
+    assert(Robots.crawlDelayMs("User-agent: *\nDisallow: /a", "x").isEmpty)
+    assert(Robots.crawlDelayMs(null, "x").isEmpty)
+    // a delay line CLOSES its group like a rule line does: the next UA
+    // line starts a fresh group that does not inherit the delay
+    val two = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /q"
+    assert(Robots.crawlDelayMs(two, "a") == Some(5000L))
+    assert(Robots.crawlDelayMs(two, "b").isEmpty)
+  }
 }

@@ -140,6 +140,14 @@ object Bench {
     spark.range(1 << 14).select(
       size(regexp_extract_all(concat(lit("Warm up, 123 tokens!"), col("id").cast("string")),
         lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).as("r"),
+      // RegExpReplace is a SEPARATE codegen + Matcher.appendReplacement path
+      // from extract_all — q23/q24's normText ("\s+" collapse over multi-KB
+      // docs) hits it first, and whichever of the two ran first paid ~1.3s
+      // of its JIT (measured r5, QProbe both orders). The repeated-padding
+      // input gives the matcher real whitespace runs to collapse.
+      length(regexp_replace(
+        lower(concat(lit(("Warm  up\t the   replace\n path  " * 8)), col("id").cast("string"))),
+        "\\s+", " ")).as("rr"),
       sha2(col("id").cast("string"), 256).as("s"),
       xxhash64(col("id")).as("h")
     ).write.format("noop").mode("overwrite").save()

@@ -673,6 +673,31 @@ object SparkEntry {
         .orderBy(col("host"), col("host_rank"))
     }),
 
+    "q49_sitemap" -> ((s, d) => {
+      // sitemap ingestion primitives (op 2 extension): robots_sitemaps
+      // (group-independent directive, non-http filtered) feeding
+      // sitemap_locs (<loc> scan: trim, entity decode, scheme filter).
+      // Bodies are built by construction so the oracle can restate the
+      // expected (host, sm_url, loc) rows without a parser.
+      val hosts = t(s, d, "customer")
+        .select(pmod(col("c_custkey"), lit(40)).as("id")).distinct()
+      val withSm = hosts.filter(pmod(col("id"), lit(2)) === 0).select(
+        concat(lit("s"), col("id"), lit(".com")).as("host"),
+        concat(lit("User-agent: *\nSitemap: https://s"), col("id"),
+          lit(".com/sm.xml\nDisallow: /x")).as("robots_body"),
+        concat(lit("<urlset><url><loc>https://s"), col("id"),
+          lit(".com/p1</loc></url><url><loc> https://s"), col("id"),
+          lit(".com/p2?a=1&amp;b=2 </loc></url><url><loc>ftp://skip</loc></url></urlset>"))
+          .as("xml"))
+      withSm
+        .select(col("host"),
+          explode(CrawlUdfs.robots_sitemaps(col("robots_body"))).as("sm_url"),
+          col("xml"))
+        .select(col("host"), col("sm_url"),
+          explode(CrawlUdfs.sitemap_locs(encode(col("xml"), "UTF-8"))).as("loc"))
+        .orderBy(col("host"), col("loc"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1242,6 +1267,16 @@ object SparkEntry {
         |      ELSE (host_rank - 1) * greatest(delay_ms, 500) END AS BIGINT)
         |   AS scheduled_offset_ms
         |FROM d ORDER BY host, host_rank""".stripMargin,
+
+    "q49_sitemap" ->
+      """WITH ids AS (SELECT DISTINCT c_custkey % 40 AS id FROM customer
+        |             WHERE c_custkey % 40 % 2 = 0),
+        |k AS (SELECT unnest(generate_series(1, 2)) AS pk)
+        |SELECT 's' || id || '.com' AS host,
+        | 'https://s' || id || '.com/sm.xml' AS sm_url,
+        | 'https://s' || id || '.com/p' || pk ||
+        |   CASE WHEN pk = 2 THEN '?a=1&b=2' ELSE '' END AS loc
+        |FROM ids CROSS JOIN k ORDER BY host, loc""".stripMargin,
 
     "q29_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, ${sqlQv("embedding")} AS qv FROM embeddings),

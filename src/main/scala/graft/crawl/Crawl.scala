@@ -52,7 +52,36 @@ object Crawl {
       .select("host", "rules", "crawl_delay_ms")
     val robotsRules = if (cfg.robotsFetchInLoop) parsedRules.limit(0) else parsedRules
 
-    val frontier0 = CrawlRound.seedFrontier(spark, seeds)
+    val seedF = CrawlRound.seedFrontier(spark, seeds)
+    val frontier0 =
+      if (!cfg.seedFromSitemaps) seedF
+      else {
+        // sitemap seeding (op 2 extension, cfg.seedFromSitemaps): robots'
+        // Sitemap: URLs → fetch the XML from the corpus (equi-join on the
+        // canonical key, identical to the page-fetch model) → explode the
+        // <loc> entries into depth-0 candidates. firstDiscoveryWins arbitrates
+        // against the seed list deterministically (src_url null < sitemap
+        // url, so an URL in BOTH keeps its seed-list identity).
+        val locs = robotsRaw
+          .select(explode(CrawlUdfs.robots_sitemaps(col("robots_body"))).as("sm_url"))
+          .select(graft.functions.UrlExpressions.canonicalize_url(col("sm_url"))
+            .as("canon_url"), col("sm_url"))
+          .join(pagesCanon.select(col("canon_url"), col("html")), Seq("canon_url"))
+          .select(col("sm_url"),
+            explode(CrawlUdfs.sitemap_locs(col("html"))).as("raw_url"))
+        val smSeeds = locs
+          .withColumn("canon_url",
+            graft.functions.UrlExpressions.canonicalize_url(col("raw_url")))
+          .withColumn("host", graft.functions.UrlExpressions.url_host(col("canon_url")))
+          .withColumn("host_rev", graft.functions.UrlExpressions.host_rev(col("host")))
+          .withColumn("depth", lit(0))
+          .withColumn("discovery_round", lit(0))
+          .withColumn("src_url", col("sm_url"))
+          .drop("sm_url")
+        CrawlRound.firstDiscoveryWins(seedF.unionByName(
+            smSeeds.select(seedF.columns.map(col).toIndexedSeq: _*)))
+          .select(seedF.columns.map(col).toIndexedSeq: _*) // frontier col order
+      }
     val seenExact0 = frontier0.select("canon_url")
 
     val sketch0 = buildSketchDelta(spark, seenExact0, cfg)

@@ -111,6 +111,15 @@ final case class CrawlConfig(
     // rules pre-ingested at bootstrap (the sidecar-fetcher production
     // shape, and the ordering the golden fixtures pin).
     robotsFetchInLoop: Boolean = false,
+    // Sitemap seeding (op 2 extension, sitemaps.org): at bootstrap, robots'
+    // group-independent `Sitemap:` URLs are fetched from the corpus (one
+    // equi-join on the canonical key — the same "fetch = join the web"
+    // model as pages) and their <loc> entries join the seed list as depth-0
+    // frontier candidates (src_url = the sitemap URL, so lineage shows the
+    // provenance). One level only — a sitemap INDEX's child sitemaps are
+    // <loc>s that are not pages, so they simply miss the corpus join; the
+    // flag is off by default (the golden fixtures pin seed-list-only runs).
+    seedFromSitemaps: Boolean = false,
     // URL-seen sketch delivery to the discovery probe (op 24):
     //   "broadcast" — collect the P sketch rows to the driver once per round
     //     and broadcast them; the probe is a codegen'd per-row expression.

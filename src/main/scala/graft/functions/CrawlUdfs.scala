@@ -55,6 +55,12 @@ object CrawlUdfs {
   val robotsCrawlDelayUdf = udf((body: String, ua: String) =>
     Robots.crawlDelayMs(body, ua))
 
+  /** robots body → `Sitemap:` URLs (group-independent per sitemaps.org). */
+  val robotsSitemapsUdf = udf((body: String) => Robots.sitemaps(body))
+
+  /** sitemap XML bytes → `<loc>` URLs (op 2 extension: sitemap seeding). */
+  val sitemapLocsUdf = udf((xml: Array[Byte]) => Html.extractSitemapLocs(xml))
+
   /** (base, href) → absolute url or null (RFC 3986 §5.2 resolution). */
   val resolveUdf = udf((base: String, ref: String) => UrlCanon.resolve(base, ref))
 
@@ -66,6 +72,8 @@ object CrawlUdfs {
     robotsAllowsUdf(rules, ua, path)
   def robots_crawl_delay_ms(body: Column, ua: Column): Column =
     robotsCrawlDelayUdf(body, ua)
+  def robots_sitemaps(body: Column): Column = robotsSitemapsUdf(body)
+  def sitemap_locs(xml: Column): Column = sitemapLocsUdf(xml)
 
   /** Path+query part of a canonical URL — cheap native ops, no UDF. */
   def urlPath(canonUrl: Column): Column = {
@@ -81,6 +89,8 @@ object CrawlUdfs {
     spark.udf.register("robots_parse", robotsParseUdf)
     spark.udf.register("robots_allows", robotsAllowsUdf)
     spark.udf.register("robots_crawl_delay_ms", robotsCrawlDelayUdf)
+    spark.udf.register("robots_sitemaps", robotsSitemapsUdf)
+    spark.udf.register("sitemap_locs", sitemapLocsUdf)
     spark.udf.register("resolve_url", resolveUdf)
     UrlExpressions.register(spark)
   }

@@ -250,4 +250,33 @@ object Html {
     val s = new String(html, StandardCharsets.UTF_8)
     (extractTextStr(s), extractLinksStr(s, baseUrl))
   }
+
+  /** `<loc>` values of a sitemap / sitemap-index XML body (sitemaps.org
+    * protocol), in document order. One linear indexOf scan — a full XML
+    * parser buys nothing here: `<loc>` content is a bare absolute URL by
+    * spec (entity-decoded for the five XML escapes the spec requires).
+    * Tolerates whitespace padding inside the element; ignores unterminated
+    * trailing junk. Works unchanged on a sitemap INDEX (whose <loc>s are
+    * child sitemap URLs) — the caller decides whether to recurse. */
+  def extractSitemapLocs(xml: Array[Byte]): Array[String] = {
+    if (xml == null) return Array.empty
+    val s = new String(xml, StandardCharsets.UTF_8)
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i >= 0 && i < s.length) {
+      val open = s.indexOf("<loc>", i)
+      if (open < 0) i = -1
+      else {
+        val close = s.indexOf("</loc>", open + 5)
+        if (close < 0) i = -1
+        else {
+          val v = decodeEntities(s.substring(open + 5, close).trim)
+          val lower = v.toLowerCase(java.util.Locale.ROOT)
+          if (lower.startsWith("http://") || lower.startsWith("https://")) out += v
+          i = close + 6
+        }
+      }
+    }
+    out.toArray
+  }
 }

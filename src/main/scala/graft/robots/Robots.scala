@@ -101,6 +101,30 @@ object Robots {
     if (tier.isEmpty) None else Some(tier.max)
   }
 
+  /** `Sitemap:` directive values, in file order. Per sitemaps.org the
+    * directive is GROUP-INDEPENDENT (it applies regardless of the
+    * user-agent sections it appears among), so no group selection here —
+    * every absolute http(s) URL is returned; relative or non-http values
+    * are ignored (the protocol requires absolute URLs). */
+  def sitemaps(body: String): Array[String] = {
+    if (body == null) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    body.linesIterator.foreach { lineRaw =>
+      val line = {
+        val h = lineRaw.indexOf('#')
+        (if (h >= 0) lineRaw.substring(0, h) else lineRaw).trim
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val value = line.substring(colon + 1).trim
+        val lower = value.toLowerCase(java.util.Locale.ROOT)
+        if (lower.startsWith("http://") || lower.startsWith("https://")) out += value
+      }
+    }
+    out.toArray
+  }
+
   /** True if `pattern` (with `*` wildcards, optional trailing `$`) matches a
     * prefix of `path`. Returns match specificity = pattern length, or -1. */
   def matchLen(pattern: String, path: String): Int = {

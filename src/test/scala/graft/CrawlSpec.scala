@@ -307,6 +307,52 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("sitemap seeding: robots Sitemap <loc>s join the depth-0 frontier and fetch") {
+    import spark.implicits._
+    import graft.html.Html
+    def page(url: String, body: String): PageRow = PageRow(url,
+      new java.sql.Timestamp(1600000000000L), body.getBytes("UTF-8"),
+      Html.extractTextStr(body), "en")
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc>https://smseed.com/deep/a</loc></url>
+        |<url><loc>https://smseed.com/deep/b</loc></url>
+        |</urlset>""".stripMargin
+    val pages = Seq(
+      // the sitemap doc itself: corpus row, never a page fetch (only its
+      // locs are seeded)
+      PageRow("https://smseed.com/sitemap.xml",
+        new java.sql.Timestamp(1600000000000L), xml.getBytes("UTF-8"), "", "en"),
+      // orphans: no inlink anywhere — reachable ONLY via the sitemap
+      page("https://smseed.com/deep/a", "<html><body><p>Deep A.</p></body></html>"),
+      page("https://smseed.com/deep/b", "<html><body><p>Deep B.</p></body></html>"),
+      page("https://seeded.com/", "<html><body><p>Root page.</p></body></html>")).toDF()
+    val robots = Seq(
+      ("smseed.com", "User-agent: *\nDisallow:\nSitemap: https://smseed.com/sitemap.xml"),
+      ("seeded.com", "User-agent: *\nDisallow:")).toDF("host", "robots_body")
+    def run(c: CrawlConfig): (Array[org.apache.spark.sql.Row], Set[String]) = {
+      val catalog = new HadoopSnapshotCatalog(tmp())
+      Crawl.bootstrap(spark, catalog, pages, robots, Seq("https://seeded.com/"), c)
+      // provenance read BEFORE the round consumes the bootstrap frontier
+      val f0 = catalog.load(spark, "frontier").get
+        .filter(col("canon_url") === "https://smseed.com/deep/a")
+        .select("src_url", "depth").collect()
+      val res = Crawl.runRounds(spark, catalog, c, 1)
+      res.foreach(r => assert(r.textMismatches == 0))
+      (f0, Crawl.fullFetchLog(spark, catalog)
+        .select("canon_url").as[String].collect().toSet)
+    }
+    val (f0On, fetchedOn) = run(cfg.copy(seedFromSitemaps = true))
+    assert(fetchedOn == Set("https://seeded.com/",
+      "https://smseed.com/deep/a", "https://smseed.com/deep/b"))
+    // provenance: the sitemap-discovered candidate carries the sitemap as src
+    assert(f0On.nonEmpty && f0On.head.getString(0) == "https://smseed.com/sitemap.xml"
+      && f0On.head.getInt(1) == 0)
+    // flag off: the orphans are unreachable
+    val (f0Off, fetchedOff) = run(cfg) // seedFromSitemaps = false
+    assert(f0Off.isEmpty && fetchedOff == Set("https://seeded.com/"))
+  }
+
   test("robots: no fetched URL violates its host's rules") {
     val (catalog, _, uni) = runCrawl(tmp(), 1000, 8, 3)
     val log = Crawl.fullFetchLog(spark, catalog)

@@ -214,4 +214,37 @@ class HtmlRobotsSpec extends AnyFunSuite {
     assert(Robots.crawlDelayMs(two, "a") == Some(5000L))
     assert(Robots.crawlDelayMs(two, "b").isEmpty)
   }
+
+  test("robots: Sitemap directive is group-independent; relative/non-http ignored") {
+    val body =
+      """User-agent: a
+        |Sitemap: https://x.com/sm1.xml
+        |Disallow: /p
+        |User-agent: b
+        |sitemap: http://x.com/sm2.xml # mixed case key, comment
+        |Sitemap: /relative/ignored.xml
+        |Sitemap: ftp://x.com/no.xml""".stripMargin
+    assert(Robots.sitemaps(body).toSeq ==
+      Seq("https://x.com/sm1.xml", "http://x.com/sm2.xml"))
+    assert(Robots.sitemaps(null).isEmpty)
+    assert(Robots.sitemaps("User-agent: *\nDisallow:").isEmpty)
+  }
+
+  test("sitemap XML: <loc> extraction — order, trim, entities, junk tolerance") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        | <url><loc>https://h.com/a?x=1&amp;y=2</loc><priority>0.8</priority></url>
+        | <url><loc>
+        |   https://h.com/b </loc></url>
+        | <url><loc>mailto:nope@h.com</loc></url>
+        | <url><loc>https://h.com/unterminated""".stripMargin
+    assert(Html.extractSitemapLocs(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toSeq ==
+      Seq("https://h.com/a?x=1&y=2", "https://h.com/b"))
+    assert(Html.extractSitemapLocs(null).isEmpty)
+    // a sitemap INDEX parses identically (locs are child sitemap urls)
+    val idx = "<sitemapindex><sitemap><loc>https://h.com/sm-0.xml</loc></sitemap></sitemapindex>"
+    assert(Html.extractSitemapLocs(idx.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toSeq ==
+      Seq("https://h.com/sm-0.xml"))
+  }
 }

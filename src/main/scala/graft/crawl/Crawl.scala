@@ -311,6 +311,19 @@ object Crawl {
     var urlSeenPrev = catalog.load(spark, "url_seen")
     var robotsRules =
       if (cfg.robotsFetchInLoop) catalog.load(spark, "robots_rules").get else state.robotsStatic
+    // robots Crawl-delay side of the schedule step (op 13 × 48), hoisted out
+    // of the loop: sidecar rules are static, so the (host, delay) frame is
+    // derived and counted ONCE — in the overwhelmingly common no-delay case
+    // the loop pays NOTHING per round (None ⇒ run() skips the join
+    // entirely). In-loop mode derives per round inside run() (rules grow).
+    val staticDelays: Option[DataFrame] =
+      if (cfg.robotsFetchInLoop || robotsRules == null ||
+          !robotsRules.columns.contains("crawl_delay_ms")) None
+      else {
+        val d = robotsRules.filter(col("crawl_delay_ms").isNotNull)
+          .select("host", "crawl_delay_ms").persist()
+        if (d.count() == 0) { d.unpersist(); None } else Some(d)
+      }
     var base = catalog.metricsOf(startRound - 1).getOrElse("total_fetched",
       (0 until startRound).map(r => catalog.metricsOf(r).getOrElse("fetched", 0L)).sum)
     var sketches = state.sketches
@@ -357,6 +370,7 @@ object Crawl {
     def release(dfs: Iterable[DataFrame]): Unit = dfs.foreach { df =>
       scala.util.Try(df.unpersist()); live -= df
     }
+    staticDelays.foreach(live += _) // crawl-lifetime pin, released with the rest
 
     def settle(): Unit = inFlight.foreach { f =>
       val res = Await.result(f.fut, Duration.Inf)
@@ -424,7 +438,7 @@ object Crawl {
           val hostRanks = edgesPin.map(e => graft.operators.LinkRank.bucketByRank(
             graft.operators.LinkRank.linkRank(e, cfg.rankIters), cfg.rankBuckets))
           val out = CrawlRound.run(spark, frontier, seenExact, seenState, pagesCanon,
-            robotsRules, cfg, round, base, robotsSource, hostRanks)
+            robotsRules, cfg, round, base, robotsSource, hostRanks, staticDelays)
           live ++= out.persisted
           val tRun = phase("run+rank", tRound)
           // always pass the loop's geometry for the bloom tier: on resume it

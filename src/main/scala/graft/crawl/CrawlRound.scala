@@ -224,7 +224,12 @@ object CrawlRound {
       robotsSource: Option[DataFrame] = None,
       // (host, rank_bucket) from LinkRank.bucketByRank over rounds < this
       // one — broadcast-joined as the priority's rank term (rankPriority)
-      hostRanks: Option[DataFrame] = None): RoundOutput = {
+      hostRanks: Option[DataFrame] = None,
+      // sidecar mode: the crawl-lifetime (host, crawl_delay_ms) frame,
+      // derived ONCE by the caller (None = no host declares a delay — the
+      // schedule step skips the join). In-loop mode ignores this and
+      // derives per round from the growing rules table.
+      hostDelays: Option[DataFrame] = None): RoundOutput = {
     import spark.implicits._
 
     // ---- 1. eligibility: scheme + depth (pushable predicates, SURVEY 21/22)
@@ -344,12 +349,16 @@ object CrawlRound {
     // join streams the probe side, so the clustered layout and within-
     // partition order survive intact (the salting-legality contract holds:
     // the delayed form is still a stateless per-row projection).
-    val delayed =
-      if (robotsRules.columns.contains("crawl_delay_ms")) {
-        val hostDelays = robotsRules.filter(col("crawl_delay_ms").isNotNull)
-          .select(col("host"), col("crawl_delay_ms"))
-        clustered.join(broadcast(hostDelays), Seq("host"), "left_outer")
-      } else clustered.withColumn("crawl_delay_ms", lit(null).cast("long"))
+    val delays: Option[DataFrame] =
+      if (!cfg.robotsFetchInLoop) hostDelays // hoisted by the caller (or None)
+      else if (robotsRules.columns.contains("crawl_delay_ms"))
+        Some(robotsRules.filter(col("crawl_delay_ms").isNotNull)
+          .select(col("host"), col("crawl_delay_ms")))
+      else None
+    val delayed = delays match {
+      case Some(d) => clustered.join(broadcast(d), Seq("host"), "left_outer")
+      case None => clustered.withColumn("crawl_delay_ms", lit(null).cast("long"))
+    }
     val scheduled = TokenBucket
       .scheduleByRankDelay(delayed, cfg.burst, cfg.ratePerSec)
       .drop("crawl_delay_ms")
@@ -479,9 +488,20 @@ object CrawlRound {
     // `eligibleAll` (NOT the robots-deferral-filtered `eligible`): deferred
     // candidates were neither scheduled nor denied, so the anti-join
     // retains them for the round after their robots fetch.
-    val frontierNext = eligibleAll
+    val frontierRetainedAndNew = eligibleAll
       .join(scheduledKeys.unionByName(deniedKeys), Seq("canon_url"), "left_anti")
       .unionByName(newEntries)
+    // trap guard (cfg.hostFrontierCap): bound the committed frontier per
+    // host via the same bounded-PQ aggregate as the fetch budget — the
+    // map-side partial already caps every mapper at k rows per host, so a
+    // trap host's millions of minted URLs never serialize through one
+    // reducer. Kept = the per-host priority-order prefix; pruned keys are
+    // already in newKeys/seen, so the prune is permanent (no rediscovery
+    // churn). Invariant: |frontier ∩ host| ≤ cap after EVERY round.
+    val frontierNext =
+      if (cfg.hostFrontierCap == Int.MaxValue) frontierRetainedAndNew
+      else graft.operators.HostTopK.hostTopK(frontierRetainedAndNew, cfg.hostFrontierCap)
+        .select(FrontierCols.map(col): _*)
 
     // ---- 12. per-partition lineage (op 33, north_rule "per-partition
     // lineage + fetch/parse counters"), FOLDED: every counter is a narrow

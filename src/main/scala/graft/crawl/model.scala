@@ -71,6 +71,17 @@ final case class CrawlConfig(
     // shuffle) exceeds it — i.e. when the budget alone no longer bounds the
     // straggler.
     hostSaltThreshold: Int = 4096,
+    // Crawler-trap guard (op 38 × frontier state, 10^10-scale state bound):
+    // cap the COMMITTED frontier at `hostFrontierCap` rows per host — the
+    // kept rows are the host's best (depth, discovery_round, canon_url)
+    // prefix, i.e. exactly the order the scheduler would fetch them in.
+    // Pruned URLs remain in the URL-seen state (they were enqueued), so a
+    // calendar/session-id trap is pruned PERMANENTLY rather than
+    // re-discovered and re-dropped every round; the frontier's per-host
+    // footprint is then bounded regardless of how many distinct URLs a
+    // trap mints. Off (MaxValue) by default — the golden fixtures pin
+    // uncapped runs; deployments size it ≥ a few rounds of hostBudget.
+    hostFrontierCap: Int = Int.MaxValue,
     // Link-rank frontier prioritization (op 16 × q45): when on, each round
     // runs the integer-fixed-point LinkRank over the HOST graph accumulated
     // from all committed rounds' discovered links, buckets hosts into

@@ -353,6 +353,41 @@ class CrawlSpec extends AnyFunSuite {
     assert(f0Off.isEmpty && fetchedOff == Set("https://seeded.com/"))
   }
 
+  test("trap guard: hostFrontierCap bounds committed frontier; prune is permanent") {
+    import spark.implicits._
+    import graft.html.Html
+    def page(url: String, body: String): PageRow = PageRow(url,
+      new java.sql.Timestamp(1600000000000L), body.getBytes("UTF-8"),
+      Html.extractTextStr(body), "en")
+    // a "trap": the root mints 40 distinct leaf URLs in one page
+    val leaves = (1 to 40).map(i => f"https://trap.com/t$i%02d")
+    val rootBody = "<html><body>" +
+      leaves.map(u => s"""<a href="$u">x</a>""").mkString + "</body></html>"
+    val pages = (page("https://trap.com/", rootBody) +:
+      leaves.map(u => page(u, "<html><body><p>Leaf.</p></body></html>"))).toDF()
+    val robots = Seq(("trap.com", "User-agent: *\nDisallow:")).toDF("host", "robots_body")
+    val c = cfg.copy(hostBudget = 4, hostFrontierCap = 8)
+    val catalog = new HadoopSnapshotCatalog(tmp())
+    Crawl.bootstrap(spark, catalog, pages, robots, Seq("https://trap.com/"), c)
+    val results = Crawl.runRounds(spark, catalog, c, 5)
+    results.foreach(r => assert(r.textMismatches == 0))
+    // round 1 fetched the root and discovered 40 leaves; the committed
+    // frontier kept only the cap-sized priority prefix (canon_url order at
+    // equal depth/round) — t01..t08 — and the invariant holds every round
+    (1 to catalog.latestRound.get).foreach { r =>
+      val fr = catalog.load(spark, "frontier", Some(r)).get
+      val perHost = fr.groupBy("host").count().collect()
+      perHost.foreach(row => assert(row.getLong(1) <= 8,
+        s"round $r: frontier holds ${row.getLong(1)} rows for ${row.getString(0)}"))
+    }
+    // the prune is PERMANENT: pruned leaves entered the seen set, so the
+    // whole crawl fetches root + exactly the 8 kept leaves and then drains
+    val fetched = Crawl.fullFetchLog(spark, catalog)
+      .select("canon_url").as[String].collect().toSet
+    assert(fetched == (Set("https://trap.com/") ++ leaves.take(8)),
+      s"fetched $fetched")
+  }
+
   test("robots: no fetched URL violates its host's rules") {
     val (catalog, _, uni) = runCrawl(tmp(), 1000, 8, 3)
     val log = Crawl.fullFetchLog(spark, catalog)

@@ -151,6 +151,16 @@ object Bench {
       sha2(col("id").cast("string"), 256).as("s"),
       xxhash64(col("id")).as("h")
     ).write.format("noop").mode("overwrite").save()
+    // Same rationale for the crawl loop: q34 is the ONLY query that drives
+    // the round machinery (commit threads, parquet state writes, the
+    // html-parse and schedule kernels), so nothing before it warms those
+    // paths and the measured 500-page fixture absorbed ~2 s of session-
+    // first-crawl JIT (12.5 s in-bench vs a 10.5-11.1 s warm floor, QProbe
+    // r5). One untimed flagship-sized crawl (300 pages, 1 round) puts the
+    // measurement on the long-lived-executor footing the comment above
+    // argues for.
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -42,14 +42,14 @@ object Crawl {
     // robots state: pre-parsed rules for the sidecar-fetcher shape, or an
     // EMPTY rules table when robots are acquired in-loop (op 31) — the raw
     // source table is committed either way (it is "the web's" robots.txt)
+    // Crawl-delay resolved against THIS crawl's user-agent at parse time
+    // (the table is per-crawl state, so binding ua here is lossless) —
+    // the loop feeds it to the token-bucket as a per-host spacing floor.
+    // Rules + delay come out of ONE body scan (robots_parse_ua): the
+    // single-facet UDFs would each re-scan the body per row.
     val parsedRules = robotsRaw
-      .withColumn("rules", CrawlUdfs.robots_parse(col("robots_body")))
-      // Crawl-delay resolved against THIS crawl's user-agent at parse time
-      // (the table is per-crawl state, so binding ua here is lossless) —
-      // the loop feeds it to the token-bucket as a per-host spacing floor
-      .withColumn("crawl_delay_ms",
-        CrawlUdfs.robots_crawl_delay_ms(col("robots_body"), lit(cfg.userAgent)))
-      .select("host", "rules", "crawl_delay_ms")
+      .withColumn("p", CrawlUdfs.robots_parse_ua(col("robots_body"), lit(cfg.userAgent)))
+      .select(col("host"), col("p._1").as("rules"), col("p._2").as("crawl_delay_ms"))
     val robotsRules = if (cfg.robotsFetchInLoop) parsedRules.limit(0) else parsedRules
 
     val seedF = CrawlRound.seedFrontier(spark, seeds)
@@ -72,6 +72,11 @@ object Crawl {
         val smSeeds = locs
           .withColumn("canon_url",
             graft.functions.UrlExpressions.canonicalize_url(col("raw_url")))
+          // same scheme/null guard as the discovery path (CrawlRound step 9):
+          // a malformed <loc> canonicalizes to null and must not commit a
+          // null-keyed row into frontier/url_seen_exact/the seen sketch
+          .filter(col("canon_url").startsWith("http://") ||
+            col("canon_url").startsWith("https://"))
           .withColumn("host", graft.functions.UrlExpressions.url_host(col("canon_url")))
           .withColumn("host_rev", graft.functions.UrlExpressions.host_rev(col("host")))
           .withColumn("depth", lit(0))
@@ -302,6 +307,13 @@ object Crawl {
       val t = new Thread(r, "graft-commit"); t.setDaemon(true); t
     })
     val commitEc = ExecutionContext.fromExecutorService(commitPool)
+    // Set when the finally-block quiesce times out and abandons the in-flight
+    // commit. The commit closure re-checks it in the metrics thunk — which
+    // the catalog evaluates AFTER the table writes and BEFORE the manifest
+    // rename — so an abandoned commit aborts short of the linearization
+    // point instead of publishing a manifest after the caller already
+    // observed the crawl as failed.
+    val commitAbandoned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     // Cross-round state handed off IN MEMORY: under pipelining the catalog
     // lags one round, so the loop never reads a round's own tables back.
@@ -404,8 +416,13 @@ object Crawl {
             // N+1, so results settled for rounds ≤ N still measured the OLD
             // snapshot's FPR — acting on them would re-fire the rebuild (a
             // full exact-store scan) 1-2 more times for one saturation event
+            // minimum-sample floor: below ceil(1/fpp) tested negatives even
+            // TWO false positives at the threshold rate aren't expected, so
+            // a single FP in a sparse tail round would read as saturation
+            // and schedule a spurious full exact-store count/rebuild scan
+            val minTested = math.ceil(1.0 / cfg.bloomFpp).toLong
             if (r.round >= fprMuteBelow &&
-                tested > 0 && fp.toDouble / tested > 2 * cfg.bloomFpp) {
+                tested >= minTested && fp.toDouble / tested > 2 * cfg.bloomFpp) {
               if (timing) System.err.println(
                 f"[crawl] adaptive sketch: round ${r.round} measured FPR " +
                   f"${fp.toDouble / tested}%.4f > 2x${cfg.bloomFpp}; rebuild scheduled")
@@ -509,6 +526,10 @@ object Crawl {
                 "lineage" -> thisOut.lineage.coalesce(1))
                 ++ thisOut.robotsFetched.map(rn =>
                   "robots_rules" -> rulesAtRound.unionByName(rn)), metrics = {
+                // abandoned by the quiesce timeout? abort BEFORE the manifest
+                // rename (this thunk runs between writes and publication)
+                if (commitAbandoned.get) throw new IllegalStateException(
+                  s"commit r${thisOut.round} abandoned by quiesce timeout — not publishing")
                 // by-name metrics: evaluated after the writes, reading the
                 // Observations those writes fired — no jobs
                 r = CrawlRound.result(thisOut)
@@ -633,13 +654,23 @@ object Crawl {
       // the Try here only absorbs that duplicate on the error path. The
       // await is FINITE: a wedged commit (hung filesystem write) must not
       // block the finally path forever and swallow the primary exception —
-      // on timeout the commit thread is abandoned (daemon, dies with the
-      // JVM) and the original exception propagates.
+      // on timeout the commit is ABANDONED SAFELY: the poison flag makes the
+      // commit closure abort in its metrics thunk (before the manifest
+      // rename — see commitAbandoned above), and shutdownNow() interrupts a
+      // thread wedged in a table write (the catalog's internal Await is
+      // interruptible), so the abandoned thread can neither publish round
+      // N's manifest after the caller observed the crawl as failed nor read
+      // frames release(live) is about to unpin. Residual window: a thread
+      // already past the metrics thunk at timeout may still rename the
+      // manifest — microseconds against a 10-minute timeout, accepted.
       inFlight.foreach(f => scala.util.Try(
         Await.result(f.fut, scala.concurrent.duration.Duration(10, "min"))) match {
         case scala.util.Failure(_: java.util.concurrent.TimeoutException) =>
+          commitAbandoned.set(true)
+          commitPool.shutdownNow()
           System.err.println(s"[crawl] finally: in-flight commit did not quiesce " +
-            "within 10 min — abandoning it; the primary exception propagates")
+            "within 10 min — abandoned (publication poisoned, thread " +
+            "interrupted); the primary exception propagates")
         case _ =>
       })
       // release every cache the loop still pins — settled rounds' retired

@@ -257,11 +257,11 @@ object CrawlRound {
         // host set the broadcast anti-join below needs anyway.
         val nMissing = missingHosts.count()
         val fetchedRules = missingHosts.join(src, Seq("host"), "left_outer")
-          .withColumn("rules", CrawlUdfs.robots_parse(col("robots_body")))
-          .withColumn("crawl_delay_ms",
-            CrawlUdfs.robots_crawl_delay_ms(col("robots_body"), lit(cfg.userAgent)))
+          // one body scan yields both facets (see robots_parse_ua);
           // missing robots.txt → empty rules = allow (RFC 9309), no delay
-          .select("host", "rules", "crawl_delay_ms")
+          .withColumn("p",
+            CrawlUdfs.robots_parse_ua(col("robots_body"), lit(cfg.userAgent)))
+          .select(col("host"), col("p._1").as("rules"), col("p._2").as("crawl_delay_ms"))
         val eligibleNow = eligibleAll.join(broadcast(missingHosts), Seq("host"), "left_anti")
         (eligibleNow, Some(fetchedRules), Some(missingHosts), nMissing)
     }
@@ -433,12 +433,17 @@ object CrawlRound {
     // Self-edges (intra-host navigation) are dropped: they only inflate a
     // host's own score. Reads the persisted parse cache; distinct host
     // pairs are hosts²-bounded, tiny next to the discovery set.
+    // persisted like every other frame that crosses the round boundary:
+    // the commit thread appends it AND round+1's rank pin re-reads it —
+    // without the pin each consumer re-runs the explode+canonicalize pass
+    // over all outlinks (the distinct result is tiny; the scan is not)
     val hostEdgesDelta =
       if (!cfg.rankPriority) None
       else Some(discovered
         .select(url_host(col("src_url")).as("src"), col("host").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct())
+        .distinct()
+        .persist())
 
     // ---- 10. seen-dedup: Bloom negative test ⇒ definitely new; the rest
     // verify against the exact store (keeps exactness, shrinks the join).
@@ -548,7 +553,7 @@ object CrawlRound {
       newEntries.select(col("canon_url")), denied, logged, lineage,
       robotsNewOpt, obsLineage, nRobotsFetched, hostEdgesDelta,
       persisted = Seq(logged, parseCache, rankSorted, scheduled, newEntries, flagged, denied)
-        ++ missingHostsOpt.toSeq,
+        ++ missingHostsOpt.toSeq ++ hostEdgesDelta.toSeq,
       fetchedCount = nRanked)
   }
 

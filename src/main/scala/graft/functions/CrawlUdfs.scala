@@ -55,6 +55,17 @@ object CrawlUdfs {
   val robotsCrawlDelayUdf = udf((body: String, ua: String) =>
     Robots.crawlDelayMs(body, ua))
 
+  /** (robots body, ua) → struct(rules, crawl_delay_ms) in ONE body scan —
+    * the crawl's robots-acquisition paths need both facets of the same
+    * body, and the single-facet UDFs above each re-run the line scanner
+    * per call (3 scans per row at bootstrap, 2 in-loop). Facet semantics
+    * are [[Robots.scan]]'s, identical to robots_parse/robots_crawl_delay_ms
+    * by construction (they are views over the same scan). */
+  val robotsParseUaUdf = udf((body: String, ua: String) => {
+    val p = Robots.scan(body)
+    (p.rules.map(r => (r.agent, r.allow, r.path)).toSeq, Robots.delayFor(p.delays, ua))
+  })
+
   /** robots body → `Sitemap:` URLs (group-independent per sitemaps.org). */
   val robotsSitemapsUdf = udf((body: String) => Robots.sitemaps(body))
 
@@ -72,6 +83,8 @@ object CrawlUdfs {
     robotsAllowsUdf(rules, ua, path)
   def robots_crawl_delay_ms(body: Column, ua: Column): Column =
     robotsCrawlDelayUdf(body, ua)
+  def robots_parse_ua(body: Column, ua: Column): Column =
+    robotsParseUaUdf(body, ua)
   def robots_sitemaps(body: Column): Column = robotsSitemapsUdf(body)
   def sitemap_locs(xml: Column): Column = sitemapLocsUdf(xml)
 

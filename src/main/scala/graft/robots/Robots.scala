@@ -14,13 +14,25 @@ package graft.robots
  */
 final case class RobotRule(agent: String, allow: Boolean, path: String)
 
+/** One pass over a robots body: grouped Allow/Disallow rules, grouped
+  * Crawl-delay declarations (unresolved — [[Robots.delayFor]] binds a UA),
+  * and the group-independent Sitemap directives, in file order. */
+final case class ParsedRobots(
+    rules: Array[RobotRule],
+    delays: Array[(String, Long)],
+    sitemaps: Array[String])
+
 object Robots {
 
-  /** Parse a robots.txt body into rules (group structure flattened into the
-    * per-rule `agent` tag; consecutive UA lines share the following rules). */
-  def parse(body: String): Array[RobotRule] = {
-    if (body == null) return Array.empty
-    val out = new scala.collection.mutable.ArrayBuffer[RobotRule]()
+  /** Single-pass scanner — the one place that knows the line grammar and the
+    * group-continuation state machine. [[parse]]/[[crawlDelayMs]]/[[sitemaps]]
+    * are views over its output; the crawl paths that need several facets of
+    * the same body call this once instead of re-scanning per facet. */
+  def scan(body: String): ParsedRobots = {
+    if (body == null) return ParsedRobots(Array.empty, Array.empty, Array.empty)
+    val rules = new scala.collection.mutable.ArrayBuffer[RobotRule]()
+    val delays = new scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val maps = new scala.collection.mutable.ArrayBuffer[String]()
     var agents = List.empty[String]
     var inGroupRules = false
     body.linesIterator.foreach { lineRaw =>
@@ -43,87 +55,60 @@ object Robots {
               // empty Disallow: == allow everything (record nothing)
               if (value.nonEmpty) {
                 val ags = if (agents.isEmpty) List("*") else agents
-                ags.foreach(a => out += RobotRule(a, allow, value))
+                ags.foreach(a => rules += RobotRule(a, allow, value))
               }
-            case _ => // crawl-delay, sitemap, unknown: ignored
+            case "crawl-delay" =>
+              inGroupRules = true
+              // fractional seconds accepted; non-numeric / negative /
+              // non-finite values ignored
+              value.toDoubleOption
+                .filter(s => s >= 0.0 && !s.isInfinite && !s.isNaN).foreach { s =>
+                  val ms = math.ceil(s * 1000.0).toLong
+                  val ags = if (agents.isEmpty) List("*") else agents
+                  ags.foreach(a => delays += a -> ms)
+                }
+            case "sitemap" =>
+              // GROUP-INDEPENDENT per sitemaps.org (applies regardless of the
+              // user-agent sections it appears among) — but the line still
+              // terminates a UA run like any other non-UA directive. The
+              // protocol requires absolute URLs: relative/non-http dropped.
+              inGroupRules = true
+              val lower = value.toLowerCase(java.util.Locale.ROOT)
+              if (lower.startsWith("http://") || lower.startsWith("https://")) maps += value
+            case _ => // unknown keys: ignored, but they end a UA run too
               inGroupRules = true
           }
         }
       }
     }
-    out.toArray
+    ParsedRobots(rules.toArray, delays.toArray, maps.toArray)
+  }
+
+  /** Parse a robots.txt body into rules (group structure flattened into the
+    * per-rule `agent` tag; consecutive UA lines share the following rules). */
+  def parse(body: String): Array[RobotRule] = scan(body).rules
+
+  /** Resolve scanned Crawl-delay declarations for `ua`, in milliseconds.
+    * Group selection mirrors [[allows]]/[[groupFor]]: entries from matching
+    * exact-UA groups beat `*` groups; within the selected tier the MAX delay
+    * wins (the conservative read of a self-contradictory file). */
+  def delayFor(delays: Array[(String, Long)], ua: String): Option[Long] = {
+    val u = if (ua == null) "*" else ua.toLowerCase(java.util.Locale.ROOT)
+    val exact = delays.collect { case (a, ms) if a != "*" && u.contains(a) => ms }
+    val tier = if (exact.nonEmpty) exact.toSeq
+               else delays.collect { case ("*", ms) => ms }.toSeq
+    if (tier.isEmpty) None else Some(tier.max)
   }
 
   /** `Crawl-delay` for `ua`, in milliseconds. The directive is non-standard
     * (absent from RFC 9309; Google ignores it, Bing/Yandex honor it) —
-    * honoring it is strictly more polite, so the engine does. Group
-    * selection mirrors [[allows]]/[[groupFor]]: entries from matching
-    * exact-UA groups beat `*` groups; within the selected tier the MAX
-    * delay wins (the conservative read of a self-contradictory file).
-    * Fractional seconds accepted; non-numeric / negative / non-finite
-    * values are ignored, as is the directive's absence → None. */
-  def crawlDelayMs(body: String, ua: String): Option[Long] = {
-    if (body == null) return None
-    val entries = new scala.collection.mutable.ArrayBuffer[(String, Long)]()
-    var agents = List.empty[String]
-    var inGroupRules = false
-    body.linesIterator.foreach { lineRaw =>
-      val line = {
-        val h = lineRaw.indexOf('#')
-        (if (h >= 0) lineRaw.substring(0, h) else lineRaw).trim
-      }
-      if (line.nonEmpty) {
-        val colon = line.indexOf(':')
-        if (colon > 0) {
-          val key = line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT)
-          val value = line.substring(colon + 1).trim
-          key match {
-            case "user-agent" =>
-              if (inGroupRules) { agents = Nil; inGroupRules = false }
-              agents = value.toLowerCase(java.util.Locale.ROOT) :: agents
-            case "crawl-delay" =>
-              inGroupRules = true
-              val secs = value.toDoubleOption
-              secs.filter(s => s >= 0.0 && !s.isInfinite && !s.isNaN).foreach { s =>
-                val ms = math.ceil(s * 1000.0).toLong
-                val ags = if (agents.isEmpty) List("*") else agents
-                ags.foreach(a => entries += a -> ms)
-              }
-            case _ => inGroupRules = true
-          }
-        }
-      }
-    }
-    val u = if (ua == null) "*" else ua.toLowerCase(java.util.Locale.ROOT)
-    val exact = entries.collect { case (a, ms) if a != "*" && u.contains(a) => ms }
-    val tier = if (exact.nonEmpty) exact.toSeq
-               else entries.collect { case ("*", ms) => ms }.toSeq
-    if (tier.isEmpty) None else Some(tier.max)
-  }
+    * honoring it is strictly more polite, so the engine does. Absent or
+    * unparseable directives → None. */
+  def crawlDelayMs(body: String, ua: String): Option[Long] =
+    delayFor(scan(body).delays, ua)
 
-  /** `Sitemap:` directive values, in file order. Per sitemaps.org the
-    * directive is GROUP-INDEPENDENT (it applies regardless of the
-    * user-agent sections it appears among), so no group selection here —
-    * every absolute http(s) URL is returned; relative or non-http values
-    * are ignored (the protocol requires absolute URLs). */
-  def sitemaps(body: String): Array[String] = {
-    if (body == null) return Array.empty
-    val out = new scala.collection.mutable.ArrayBuffer[String]()
-    body.linesIterator.foreach { lineRaw =>
-      val line = {
-        val h = lineRaw.indexOf('#')
-        (if (h >= 0) lineRaw.substring(0, h) else lineRaw).trim
-      }
-      val colon = line.indexOf(':')
-      if (colon > 0 &&
-          line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT) == "sitemap") {
-        val value = line.substring(colon + 1).trim
-        val lower = value.toLowerCase(java.util.Locale.ROOT)
-        if (lower.startsWith("http://") || lower.startsWith("https://")) out += value
-      }
-    }
-    out.toArray
-  }
+  /** `Sitemap:` directive values, in file order (see [[scan]]). */
+  def sitemaps(body: String): Array[String] = scan(body).sitemaps
 
   /** True if `pattern` (with `*` wildcards, optional trailing `$`) matches a
     * prefix of `path`. Returns match specificity = pattern length, or -1. */

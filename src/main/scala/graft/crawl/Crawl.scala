@@ -662,15 +662,17 @@ object Crawl {
       // N's manifest after the caller observed the crawl as failed nor read
       // frames release(live) is about to unpin. Residual window: a thread
       // already past the metrics thunk at timeout may still rename the
-      // manifest — microseconds against a 10-minute timeout, accepted.
+      // manifest — microseconds against the configured timeout (default
+      // 10 min, cfg.commitQuiesceTimeoutSec), accepted.
       inFlight.foreach(f => scala.util.Try(
-        Await.result(f.fut, scala.concurrent.duration.Duration(10, "min"))) match {
+        Await.result(f.fut, scala.concurrent.duration.Duration(
+          cfg.commitQuiesceTimeoutSec.toLong, "sec"))) match {
         case scala.util.Failure(_: java.util.concurrent.TimeoutException) =>
           commitAbandoned.set(true)
           commitPool.shutdownNow()
           System.err.println(s"[crawl] finally: in-flight commit did not quiesce " +
-            "within 10 min — abandoned (publication poisoned, thread " +
-            "interrupted); the primary exception propagates")
+            s"within ${cfg.commitQuiesceTimeoutSec}s — abandoned (publication " +
+            "poisoned, thread interrupted); the primary exception propagates")
         case _ =>
       })
       // release every cache the loop still pins — settled rounds' retired

@@ -170,7 +170,15 @@ final case class CrawlConfig(
     // this MUST be shared storage (HDFS/S3 — same fault domain as the
     // catalog); empty = a fresh local temp dir (sandbox/tests). Ignored by
     // the cache tier.
-    checkpointDir: String = "")
+    checkpointDir: String = "",
+    // How long the loop's FAILURE path waits for an in-flight commit to
+    // settle before abandoning it (finally-block quiesce). Abandonment is
+    // safe — publication is poisoned and the commit thread interrupted, so
+    // the wedged commit can never publish its manifest after the caller
+    // observed the crawl as failed — but generous is right in production: a
+    // slow-but-healthy commit that settles inside the window keeps its
+    // round. Tests shrink it to exercise the abandonment path.
+    commitQuiesceTimeoutSec: Int = 600)
 
 /** A discovered frontier entry tagged with its URL-seen sketch verdict —
   * the map-side probe's output row ([[CrawlRound.run]] step 10). */

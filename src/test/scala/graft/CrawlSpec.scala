@@ -511,6 +511,78 @@ class CrawlSpec extends AnyFunSuite {
     assert(a.length == b.length && a.sameElements(b), "in-loop checkpoint run diverged")
   }
 
+  test("abandoned in-flight commit never publishes its manifest (quiesce poison)") {
+    import spark.implicits._
+    val dir = tmp()
+    val uni = FixtureGen.Universe(500)
+    val pages = spark.range(500).map(p => uni.pageRow(p)).toDF()
+    val robots = (0 until uni.nHosts).flatMap(i => uni.robotsBody(i).map(b => (uni.host(i), b)))
+      .toDF("host", "robots_body")
+    val inner = new HadoopSnapshotCatalog(dir)
+    // Wedges round 1's commit UNINTERRUPTIBLY until `releaseWedge` — so only
+    // the poison flag (not the quiesce interrupt) can stop publication — and
+    // plants a failure into the loop thread's pipelined handoff (the as-of
+    // seen-chain read that immediately follows commit submission).
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val releaseWedge = new java.util.concurrent.CountDownLatch(1)
+    val attempted = new java.util.concurrent.CountDownLatch(1)
+    val commitFailure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val catalog = new StateCatalog {
+      override def latestRound = inner.latestRound
+      override def load(spark: org.apache.spark.sql.SparkSession, table: String,
+          atRound: Option[Int]) = {
+        if (table == "url_seen_exact" && atRound.contains(0)) {
+          // only the round-1 pipelined handoff reads this as-of frame; wait
+          // for the commit thread to be provably inside the wedge first
+          assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+            "commit thread never entered the wedge")
+          throw new RuntimeException("planted loop failure")
+        }
+        inner.load(spark, table, atRound)
+      }
+      override def commit(round: Int, tables: Map[String, org.apache.spark.sql.DataFrame],
+          metrics: => Map[String, Long],
+          appends: Map[String, org.apache.spark.sql.DataFrame]) = {
+        if (round == 1) {
+          // freeze the frames while the loop still pins their caches: the
+          // abandonment path unpersists the originals, and this test wants
+          // the table WRITES to succeed so the poison gate itself — not a
+          // recompute crash over released caches — stops publication
+          val fTables = tables.map { case (k, df) => k -> df.localCheckpoint(true) }
+          val fAppends = appends.map { case (k, df) => k -> df.localCheckpoint(true) }
+          entered.countDown()
+          var done = false
+          while (!done) try { releaseWedge.await(); done = true }
+          catch { case _: InterruptedException => } // swallow the quiesce interrupt
+          try inner.commit(round, fTables, metrics, fAppends)
+          catch { case t: Throwable => commitFailure.set(t); throw t }
+          finally attempted.countDown()
+        } else inner.commit(round, tables, metrics, appends)
+      }
+      override def metricsOf(round: Int) = inner.metricsOf(round)
+    }
+    val c = cfg.copy(commitQuiesceTimeoutSec = 2) // pipelined by default
+    Crawl.bootstrap(spark, catalog, pages, robots, uni.seeds(8), c)
+    val thrown = try intercept[RuntimeException] {
+      Crawl.runRounds(spark, catalog, c, 3)
+    } finally releaseWedge.countDown()
+    // the PRIMARY exception surfaces — the quiesce timeout did not mask it
+    assert(thrown.getMessage == "planted loop failure")
+    // the abandoned thread resumes, runs the real commit, and must abort at
+    // the poison check BEFORE the manifest rename
+    assert(attempted.await(120, java.util.concurrent.TimeUnit.SECONDS),
+      "abandoned commit thread never finished its attempt")
+    // ...and it aborted at the poison gate (writes succeeded — the frames
+    // were frozen above — so nothing else could have stopped it)
+    assert(commitFailure.get.isInstanceOf[IllegalStateException] &&
+        commitFailure.get.getMessage.contains("abandoned by quiesce timeout"),
+      s"expected the poison-gate abort, got: ${commitFailure.get}")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_manifests", "manifest_000001.json")),
+      "abandoned commit published round 1's manifest after the caller saw the failure")
+    assert(inner.latestRound.contains(0), "catalog advanced past the bootstrap snapshot")
+  }
+
   test("determinism: identical fetch_log across two full runs") {
     val (catA, _, _) = runCrawl(tmp(), 1000, 8, 3)
     val (catB, _, _) = runCrawl(tmp(), 1000, 8, 3)

@@ -45,10 +45,16 @@ object Crawl {
     // Crawl-delay resolved against THIS crawl's user-agent at parse time
     // (the table is per-crawl state, so binding ua here is lossless) —
     // the loop feeds it to the token-bucket as a per-host spacing floor.
-    // Rules + delay come out of ONE body scan (robots_parse_ua): the
-    // single-facet UDFs would each re-scan the body per row.
-    val parsedRules = robotsRaw
+    // Rules + delay + sitemaps come out of ONE body scan (robots_parse_ua):
+    // the single-facet UDFs would each re-scan the body per row. With
+    // sitemap seeding there are TWO bootstrap consumers (rules table,
+    // sitemap locs), so the parsed frame is pinned for the bootstrap's
+    // duration — bodies themselves are projected away before the cache.
+    val parsedAll = robotsRaw
       .withColumn("p", CrawlUdfs.robots_parse_ua(col("robots_body"), lit(cfg.userAgent)))
+      .select(col("host"), col("p"))
+    if (cfg.seedFromSitemaps) parsedAll.persist()
+    val parsedRules = parsedAll
       .select(col("host"), col("p._1").as("rules"), col("p._2").as("crawl_delay_ms"))
     val robotsRules = if (cfg.robotsFetchInLoop) parsedRules.limit(0) else parsedRules
 
@@ -62,8 +68,8 @@ object Crawl {
         // <loc> entries into depth-0 candidates. firstDiscoveryWins arbitrates
         // against the seed list deterministically (src_url null < sitemap
         // url, so an URL in BOTH keeps its seed-list identity).
-        val locs = robotsRaw
-          .select(explode(CrawlUdfs.robots_sitemaps(col("robots_body"))).as("sm_url"))
+        val locs = parsedAll
+          .select(explode(col("p._3")).as("sm_url"))
           .select(graft.functions.UrlExpressions.canonicalize_url(col("sm_url"))
             .as("canon_url"), col("sm_url"))
           .join(pagesCanon.select(col("canon_url"), col("html")), Seq("canon_url"))
@@ -100,6 +106,7 @@ object Crawl {
       "url_seen" -> sketch0,
       "fetch_log" -> emptyFetchLog(spark)),
       Map("total_fetched" -> 0L, "enqueued" -> frontier0.count()))
+    if (cfg.seedFromSitemaps) parsedAll.unpersist()
   }
 
   private def emptyFetchLog(spark: SparkSession): DataFrame =
@@ -551,7 +558,10 @@ object Crawl {
                 // host_edges likewise: the per-round distinct link-graph
                 // delta appends onto the chain (rankPriority).
                 appends = Map("url_seen_exact" -> thisOut.newKeys)
-                  ++ thisOut.hostEdgesDelta.map("host_edges" -> _))
+                  ++ thisOut.hostEdgesDelta.map("host_edges" -> _),
+                // once the quiesce timeout abandons this commit, it may
+                // neither start further table writes nor publish
+                abort = () => commitAbandoned.get)
               if (r == null) r = CrawlRound.result(thisOut)
               r
             }(commitEc)
@@ -654,25 +664,35 @@ object Crawl {
       // the Try here only absorbs that duplicate on the error path. The
       // await is FINITE: a wedged commit (hung filesystem write) must not
       // block the finally path forever and swallow the primary exception —
-      // on timeout the commit is ABANDONED SAFELY: the poison flag makes the
-      // commit closure abort in its metrics thunk (before the manifest
-      // rename — see commitAbandoned above), and shutdownNow() interrupts a
-      // thread wedged in a table write (the catalog's internal Await is
-      // interruptible), so the abandoned thread can neither publish round
-      // N's manifest after the caller observed the crawl as failed nor read
-      // frames release(live) is about to unpin. Residual window: a thread
-      // already past the metrics thunk at timeout may still rename the
-      // manifest — microseconds against the configured timeout (default
-      // 10 min, cfg.commitQuiesceTimeoutSec), accepted.
+      // on timeout the commit is ABANDONED SAFELY, in three layers:
+      //   1. the poison flag (commitAbandoned, polled by the catalog before
+      //      each not-yet-started table write and again immediately before
+      //      the manifest rename) stops the commit from publishing or
+      //      starting new writes;
+      //   2. cancelJobGroup kills the RUNNING table-write jobs — they run
+      //      on the catalog's shared pool, which shutdownNow below cannot
+      //      reach, and a wedged write would otherwise leak that pool's
+      //      thread forever AND keep reading frames release(live) is about
+      //      to unpin (plain cancelJobGroup, not ...AndFutureJobs: the
+      //      latter blacklists the group id and would kill a same-JVM
+      //      retry of this round);
+      //   3. shutdownNow() interrupts the orchestrator thread blocked in
+      //      the catalog's internal Await.
+      // Net: no manifest for round N can appear after the caller observed
+      // the crawl as failed (the abort poll is adjacent to the rename), and
+      // no abandoned write outlives the quiesce to race a retry's .tmp
+      // paths beyond cancellation-delivery latency.
       inFlight.foreach(f => scala.util.Try(
         Await.result(f.fut, scala.concurrent.duration.Duration(
           cfg.commitQuiesceTimeoutSec.toLong, "sec"))) match {
         case scala.util.Failure(_: java.util.concurrent.TimeoutException) =>
           commitAbandoned.set(true)
+          spark.sparkContext.cancelJobGroup(StateCatalog.commitJobGroup(f.round))
           commitPool.shutdownNow()
           System.err.println(s"[crawl] finally: in-flight commit did not quiesce " +
             s"within ${cfg.commitQuiesceTimeoutSec}s — abandoned (publication " +
-            "poisoned, thread interrupted); the primary exception propagates")
+            "poisoned, write jobs cancelled, orchestrator interrupted); the " +
+            "primary exception propagates")
         case _ =>
       })
       // release every cache the loop still pins — settled rounds' retired

@@ -38,10 +38,19 @@ trait StateCatalog {
     * append snapshot). Append is the only sane shape for monotone-growing
     * state at the design point: a 10^10-row seen set must never be
     * rewritten to add one round's URLs. A later `tables` entry for the
-    * same name resets the chain (that is how re-crawl eviction compacts). */
+    * same name resets the chain (that is how re-crawl eviction compacts).
+    *
+    * `abort` is polled before each table write starts and immediately
+    * before the manifest rename: once it returns true the commit can no
+    * longer publish (it throws instead) — the hook an owner that has
+    * abandoned the commit (crawl-loop quiesce timeout) uses to guarantee no
+    * late manifest appears after it observed the failure. Writes already
+    * RUNNING when abort flips are stopped from outside via their Spark job
+    * group ([[StateCatalog.commitJobGroup]]). */
   def commit(round: Int, tables: Map[String, DataFrame],
       metrics: => Map[String, Long] = Map.empty,
-      appends: Map[String, DataFrame] = Map.empty): String
+      appends: Map[String, DataFrame] = Map.empty,
+      abort: () => Boolean = () => false): String
   /** Metrics map of a committed round (lineage accounting). */
   def metricsOf(round: Int): Map[String, Long]
 }
@@ -105,7 +114,8 @@ final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
   }
 
   override def commit(round: Int, tables: Map[String, DataFrame],
-      metrics: => Map[String, Long], appends: Map[String, DataFrame]): String = {
+      metrics: => Map[String, Long], appends: Map[String, DataFrame],
+      abort: () => Boolean): String = {
     // Write the round's tables as CONCURRENT Spark jobs: they are
     // independent dataflows into separate dirs, and the scheduler fills
     // idle task slots across jobs — serializing them would add one full
@@ -128,11 +138,26 @@ final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
     val settled = Await.result(Future.traverse(work) { case (name, df, isAppend) =>
       Future {
         Try {
+          // an aborted commit must not START new writes (the queued-future
+          // tail of an abandonment; running writes are cancelled from
+          // outside via the job group below)
+          if (abort()) throw new IllegalStateException(
+            s"commit r$round aborted by caller before writing $name")
           val rel = f"$name/r$round%06d"
           val tmp = root.resolve(rel + ".tmp")
           val fin = root.resolve(rel)
           val t0 = System.nanoTime()
-          df.write.mode("overwrite").parquet(tmp.toString)
+          // every job of this write is tagged with the round's commit group
+          // so an abandoning owner can cancel RUNNING writes (freeing this
+          // shared pool's thread — a wedged write must not leak it) instead
+          // of only interrupting its own orchestrator thread. Cleared in the
+          // finally: the pool thread is reused by later commits.
+          val sc = df.sparkSession.sparkContext
+          sc.setJobGroup(StateCatalog.commitJobGroup(round),
+            s"graft commit r$round: $name", interruptOnCancel = true)
+          try {
+            df.write.mode("overwrite").parquet(tmp.toString)
+          } finally sc.clearJobGroup()
           if (sys.env.contains("GRAFT_CRAWL_TIMING")) System.err.println(
             f"[commit] r$round $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
           // idempotent re-commit of the same round: clear any previous final dir
@@ -156,6 +181,10 @@ final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
     }
     val entries = settled.collect { case Success(kv) => kv }.toMap
     val metricEntries = metrics.map { case (k, v) => s"metric.$k" -> v.toString }
+    // last abort poll, adjacent to the linearization point: a commit
+    // abandoned DURING metrics evaluation still must not publish
+    if (abort()) throw new IllegalStateException(
+      s"commit r$round aborted by caller before manifest publication")
     val snapshotId = f"r$round%06d"
     val body = (entries ++ metricEntries + ("snapshot_id" -> snapshotId) + ("round" -> round.toString))
       .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
@@ -179,6 +208,13 @@ final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
 }
 
 object StateCatalog {
+  /** Spark job-group id tagging every job of round N's table writes.
+    * Deterministic per round (NOT nonce'd): cancellation uses plain
+    * `cancelJobGroup`, which only cancels jobs active at call time, so a
+    * same-JVM retry of the round reusing the id is unaffected — the
+    * future-jobs variant would blacklist the id and kill the retry. */
+  def commitJobGroup(round: Int): String = f"graft-commit-r$round%06d"
+
   /** Bounded pool for concurrent per-table commit jobs (driver-side action
     * threads only — executor slots are still governed by the scheduler). */
   private[crawl] lazy val commitEc: scala.concurrent.ExecutionContext =

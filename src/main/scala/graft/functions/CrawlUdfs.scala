@@ -55,15 +55,17 @@ object CrawlUdfs {
   val robotsCrawlDelayUdf = udf((body: String, ua: String) =>
     Robots.crawlDelayMs(body, ua))
 
-  /** (robots body, ua) → struct(rules, crawl_delay_ms) in ONE body scan —
-    * the crawl's robots-acquisition paths need both facets of the same
-    * body, and the single-facet UDFs above each re-run the line scanner
-    * per call (3 scans per row at bootstrap, 2 in-loop). Facet semantics
-    * are [[Robots.scan]]'s, identical to robots_parse/robots_crawl_delay_ms
-    * by construction (they are views over the same scan). */
+  /** (robots body, ua) → struct(rules, crawl_delay_ms, sitemaps) in ONE
+    * body scan — the crawl's robots-acquisition paths need several facets
+    * of the same body, and the single-facet UDFs above each re-run the
+    * line scanner per call (3 scans per row at bootstrap, 2 in-loop).
+    * Facet semantics are [[Robots.scan]]'s, identical to robots_parse /
+    * robots_crawl_delay_ms / robots_sitemaps by construction (they are
+    * views over the same scan). */
   val robotsParseUaUdf = udf((body: String, ua: String) => {
     val p = Robots.scan(body)
-    (p.rules.map(r => (r.agent, r.allow, r.path)).toSeq, Robots.delayFor(p.delays, ua))
+    (p.rules.map(r => (r.agent, r.allow, r.path)).toSeq,
+      Robots.delayFor(p.delays, ua), p.sitemaps.toSeq)
   })
 
   /** robots body → `Sitemap:` URLs (group-independent per sitemaps.org). */

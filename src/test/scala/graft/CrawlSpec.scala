@@ -542,22 +542,23 @@ class CrawlSpec extends AnyFunSuite {
       }
       override def commit(round: Int, tables: Map[String, org.apache.spark.sql.DataFrame],
           metrics: => Map[String, Long],
-          appends: Map[String, org.apache.spark.sql.DataFrame]) = {
+          appends: Map[String, org.apache.spark.sql.DataFrame],
+          abort: () => Boolean) = {
         if (round == 1) {
           // freeze the frames while the loop still pins their caches: the
           // abandonment path unpersists the originals, and this test wants
-          // the table WRITES to succeed so the poison gate itself — not a
-          // recompute crash over released caches — stops publication
+          // nothing BUT the abort gates (not a recompute crash over
+          // released caches) to be able to stop publication
           val fTables = tables.map { case (k, df) => k -> df.localCheckpoint(true) }
           val fAppends = appends.map { case (k, df) => k -> df.localCheckpoint(true) }
           entered.countDown()
           var done = false
           while (!done) try { releaseWedge.await(); done = true }
           catch { case _: InterruptedException => } // swallow the quiesce interrupt
-          try inner.commit(round, fTables, metrics, fAppends)
+          try inner.commit(round, fTables, metrics, fAppends, abort)
           catch { case t: Throwable => commitFailure.set(t); throw t }
           finally attempted.countDown()
-        } else inner.commit(round, tables, metrics, appends)
+        } else inner.commit(round, tables, metrics, appends, abort)
       }
       override def metricsOf(round: Int) = inner.metricsOf(round)
     }
@@ -569,14 +570,14 @@ class CrawlSpec extends AnyFunSuite {
     // the PRIMARY exception surfaces — the quiesce timeout did not mask it
     assert(thrown.getMessage == "planted loop failure")
     // the abandoned thread resumes, runs the real commit, and must abort at
-    // the poison check BEFORE the manifest rename
+    // an abort-thunk gate BEFORE the manifest rename (here the pre-write
+    // poll — abort() is already true when the wedge releases; the frozen
+    // frames rule out a recompute crash masquerading as the gate)
     assert(attempted.await(120, java.util.concurrent.TimeUnit.SECONDS),
       "abandoned commit thread never finished its attempt")
-    // ...and it aborted at the poison gate (writes succeeded — the frames
-    // were frozen above — so nothing else could have stopped it)
     assert(commitFailure.get.isInstanceOf[IllegalStateException] &&
-        commitFailure.get.getMessage.contains("abandoned by quiesce timeout"),
-      s"expected the poison-gate abort, got: ${commitFailure.get}")
+        commitFailure.get.getMessage.contains("aborted by caller"),
+      s"expected an abort-gate refusal, got: ${commitFailure.get}")
     assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir, "_manifests", "manifest_000001.json")),
       "abandoned commit published round 1's manifest after the caller saw the failure")

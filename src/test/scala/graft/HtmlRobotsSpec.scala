@@ -215,17 +215,18 @@ class HtmlRobotsSpec extends AnyFunSuite {
     assert(Robots.crawlDelayMs(two, "b").isEmpty)
   }
 
-  test("robots_parse_ua UDF ≡ robots_parse + robots_crawl_delay_ms per row") {
+  test("robots_parse_ua UDF ≡ robots_parse + robots_crawl_delay_ms + robots_sitemaps") {
     // the combined one-scan UDF feeds the crawl's acquisition paths; the
     // single-facet UDFs back the oracle queries — pin the struct-field
-    // plumbing (array-of-rule tuples, nullable delay) to the facet pair
+    // plumbing (array-of-rule tuples, nullable delay, sitemap array) to
+    // the facet triple
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
     val bodies = Seq(
       "User-agent: crawlerspark\nCrawl-delay: 2.5\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 9\nAllow: /x/ok",
-      "User-agent: *\nDisallow: /private\nSitemap: https://x.com/s.xml",
-      "Disallow: /implicit-star\nCrawl-delay: soon",
+      "User-agent: *\nDisallow: /private\nSitemap: https://x.com/s.xml\nSitemap: /relative/no",
+      "Disallow: /implicit-star\nCrawl-delay: soon\nsitemap: http://y.com/a.xml",
       "", null: String).toDF("robots_body")
     val ua = lit("crawlerspark")
     val got = bodies
@@ -233,12 +234,14 @@ class HtmlRobotsSpec extends AnyFunSuite {
       .withColumn("rules0", graft.functions.CrawlUdfs.robots_parse(col("robots_body")))
       .withColumn("delay0",
         graft.functions.CrawlUdfs.robots_crawl_delay_ms(col("robots_body"), ua))
-      .select(col("p._1").as("rules"), col("p._2").as("delay"),
-        col("rules0"), col("delay0"))
+      .withColumn("maps0", graft.functions.CrawlUdfs.robots_sitemaps(col("robots_body")))
+      .select(col("p._1").as("rules"), col("p._2").as("delay"), col("p._3").as("maps"),
+        col("rules0"), col("delay0"), col("maps0"))
       .collect()
     got.foreach { r =>
-      assert(r.getSeq[Any](0) == r.getSeq[Any](2), s"rules facet diverged: $r")
-      assert(r.get(1) == r.get(3), s"delay facet diverged: $r")
+      assert(r.getSeq[Any](0) == r.getSeq[Any](3), s"rules facet diverged: $r")
+      assert(r.get(1) == r.get(4), s"delay facet diverged: $r")
+      assert(r.getSeq[Any](2) == r.getSeq[Any](5), s"sitemaps facet diverged: $r")
     }
   }
 

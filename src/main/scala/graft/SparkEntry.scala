@@ -698,6 +698,37 @@ object SparkEntry {
         .orderBy(col("host"), col("loc"))
     }),
 
+    "q50_stratified_sample" -> ((s, d) => {
+      // deterministic stratified sample (training-data curation): best-10
+      // docs per language by the cross-engine multiplicative-hash priority.
+      // Bounded-PQ aggregate — NO per-stratum window, so the Zipf-hot
+      // stratum never serializes — and only (stratum, pri, key) rides the
+      // PQ; the payload (n_chars stands in for text) joins back afterwards
+      // on the ≤ k·|strata|-row sample, a broadcast by construction.
+      import graft.operators.StratifiedSample
+      val docs = t(s, d, "documents")
+      StratifiedSample.stratifiedTopK(
+          docs, col("lang"), col("doc_id"),
+          StratifiedSample.hashPri(col("doc_id")), k = 10)
+        .join(docs.select(col("doc_id").as("key"), col("n_chars")), Seq("key"))
+        .select(col("stratum").as("lang"), col("key").as("doc_id"), col("pri"),
+          col("sample_rank"), col("n_chars"))
+        .orderBy(col("lang"), col("sample_rank"))
+    }),
+
+    "q51_hash_split" -> ((s, d) => {
+      // deterministic train/valid/test assignment (98/1/1 permille by key
+      // hash): row-local projection — stable across reruns and appends,
+      // unlike a random() split which re-deals every run. Summarized per
+      // (lang, split); the oracle restates the bucket arithmetic.
+      import graft.operators.StratifiedSample
+      StratifiedSample.hashSplit(t(s, d, "documents"), col("doc_id"),
+          Seq(("train", 980), ("valid", 990), ("test", 1000)))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("split"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1277,6 +1308,23 @@ object SparkEntry {
         | 'https://s' || id || '.com/p' || pk ||
         |   CASE WHEN pk = 2 THEN '?a=1&b=2' ELSE '' END AS loc
         |FROM ids CROSS JOIN k ORDER BY host, loc""".stripMargin,
+
+    "q50_stratified_sample" ->
+      """WITH p AS (SELECT doc_id, lang, n_chars,
+        |    (doc_id * 2654435761) % 1000000007 AS pri FROM documents),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY lang ORDER BY pri, doc_id) AS rn FROM p)
+        |SELECT lang, doc_id, pri, CAST(rn AS INTEGER) AS sample_rank, n_chars
+        |FROM r WHERE rn <= 10 ORDER BY lang, sample_rank""".stripMargin,
+
+    "q51_hash_split" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |    ((doc_id * 2654435761) % 1000000007) % 1000 AS bucket FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 980 THEN 'train'
+        |       WHEN bucket < 990 THEN 'valid' ELSE 'test' END AS split,
+        |  count(*) AS n, sum(n_chars) AS sum_chars
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "q29_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, ${sqlQv("embedding")} AS qv FROM embeddings),

@@ -473,4 +473,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(f2.length == 3) // 11 bytes → offsets 0,3,6
     assert(new String(f2(0).frame_bytes) == "hell")
   }
+
+  // ---- sampling / splits ------------------------------------------------------
+
+  test("stratified sample: PQ aggregate ≡ rank window; invariant across partitionings") {
+    import graft.operators.StratifiedSample
+    // Zipf-ish strata: 's0' holds 70 of 100 keys (the hot stratum the
+    // bounded PQ exists for)
+    val d = (1L to 100L).map(k => (k, if (k <= 70) "s0" else s"s${k % 3 + 1}"))
+      .toDF("doc_id", "lang")
+    def run(parts: Int) = StratifiedSample.stratifiedTopK(
+        d.repartition(parts), col("lang"), col("doc_id"),
+        StratifiedSample.hashPri(col("doc_id")), k = 5)
+      .select("stratum", "key", "sample_rank")
+      .as[(String, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val a = run(1); val b = run(7)
+    assert(a.sameElements(b), "sample depends on partitioning")
+    // reference semantics: rank window over the same priority
+    import org.apache.spark.sql.expressions.Window
+    val ref = d.withColumn("pri", StratifiedSample.hashPri(col("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("pri"), col("doc_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("doc_id"), col("rn").cast("int"))
+      .as[(String, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    assert(a.sameElements(ref), "PQ aggregate diverges from window reference")
+    assert(a.count(_._1 == "s0") == 5) // hot stratum capped at k
+    // a different seed yields a different (still size-capped) sample
+    val seeded = StratifiedSample.stratifiedTopK(
+        d, col("lang"), col("doc_id"),
+        StratifiedSample.hashPri(col("doc_id"), seed = 42L), k = 5)
+      .select("key").as[Long].collect().toSet
+    assert(seeded != a.map(_._2).toSet, "seed had no effect")
+  }
+
+  test("hash split: deterministic, append-stable, fractions honored, bad config rejected") {
+    import graft.operators.StratifiedSample
+    val fr = Seq(("train", 700), ("valid", 900), ("test", 1000))
+    val d = (1L to 2000L).toDF("doc_id")
+    val s1 = StratifiedSample.hashSplit(d, col("doc_id"), fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // rerun + append: original keys keep their assignment (leakage-free)
+    val s2 = StratifiedSample.hashSplit(
+        (1L to 3000L).toDF("doc_id"), col("doc_id"), fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1.forall { case (k, v) => s2(k) == v }, "append changed assignments")
+    val n = s1.size.toDouble
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.7) < 0.05, s"train frac ${frac("train")}")
+    assert(math.abs(frac("valid") - 0.2) < 0.05, s"valid frac ${frac("valid")}")
+    intercept[IllegalArgumentException] {
+      StratifiedSample.hashSplit(d, col("doc_id"), Seq(("train", 500)))
+    }
+    intercept[IllegalArgumentException] {
+      StratifiedSample.hashSplit(d, col("doc_id"),
+        Seq(("a", 900), ("b", 800), ("c", 1000)))
+    }
+  }
 }

@@ -729,6 +729,21 @@ object SparkEntry {
         .orderBy(col("lang"), col("split"))
     }),
 
+    "q52_dup_clusters" -> ((s, d) => {
+      // near-dup CLUSTER resolution: the pair finders (q27/q28/q42) emit
+      // pairs; a pipeline keeps one doc per CONNECTED COMPONENT (A~B, B~C
+      // must collapse even though (A,C) was never emitted). Alternating
+      // large-star/small-star — O(log n) rounds, skew-safe — over the
+      // verified minhash pairs; the oracle closes the same pair set with a
+      // recursive CTE. docsWithDups guarantees every doc has its +1e6
+      // exact copy, so every cluster has ≥ 2 members.
+      import graft.dedup.DupClusters
+      DupClusters.dupClusters(
+          Dedup.minhashNearDupPairs(docsWithDups(s, d), k = 32, bands = 8,
+            minJ = 0.5, kernel = true))
+        .orderBy(col("doc_id"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1066,6 +1081,45 @@ object SparkEntry {
          |   greatest(CAST(len(a.s) + len(c.s) AS DOUBLE) - CAST(len(list_intersect(a.s, c.s)) AS DOUBLE), 1.0) AS jaccard
          | FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh c ON c.doc_id = cand.id_b)
          |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q52_dup_clusters" ->
+      // q27's pair mirror + recursive-CTE reachability closure: component
+      // label = min reachable id (DuckDB's UNION-dedup recursion is the
+      // small-scale ground truth for the large-star/small-star dataflow)
+      s"""WITH RECURSIVE d2 AS ($sqlD2),
+         |b AS (SELECT doc_id, ${sqlNorm("text")} AS nt FROM d2),
+         |sh AS (SELECT doc_id, $sqlShingles AS s
+         |       FROM (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM b)),
+         |hs AS (SELECT doc_id, list_transform(s, g -> ${sqlH64("g")}) AS h1s,
+         |  list_transform(s, g -> ${sqlH64(s"'${graft.functions.Hash64.Km2Prefix}' || g")}) AS h2s FROM sh),
+         |sig AS (SELECT doc_id, list_transform(range(32),
+         |  i -> list_min(list_transform(range(len(h1s)),
+         |    j -> ${sqlKm("h1s[j+1]", "h2s[j+1]", "i")}))) AS sig
+         | FROM hs),
+         |band AS (SELECT doc_id, band_idx,
+         |  ${sqlH64("band_idx::VARCHAR || '|' || array_to_string(list_transform(list_slice(sig, band_idx*4+1, band_idx*4+4), x -> x::VARCHAR), ',')")} AS band_hash
+         | FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band_idx) r),
+         |capped AS (SELECT band_idx, band_hash FROM band GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         | FROM band x JOIN band y USING (band_idx, band_hash)
+         |  JOIN capped USING (band_idx, band_hash)
+         | WHERE x.doc_id < y.doc_id),
+         |p AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) /
+         |   greatest(CAST(len(a.s) + len(c.s) AS DOUBLE) - CAST(len(list_intersect(a.s, c.s)) AS DOUBLE), 1.0) AS jaccard
+         | FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh c ON c.doc_id = cand.id_b),
+         |pf AS (SELECT id_a, id_b FROM p WHERE jaccard >= 0.5),
+         |nodes AS (SELECT id_a AS v FROM pf UNION SELECT id_b FROM pf),
+         |e AS (SELECT id_a AS u, id_b AS v FROM pf UNION SELECT id_b, id_a FROM pf),
+         |reach AS (
+         |  SELECT v AS src, v AS dst FROM nodes
+         |  UNION
+         |  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u),
+         |lbl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY 1)
+         |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+         | l.doc_id = l.cluster_id AS keep
+         |FROM lbl l JOIN sz s USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     "q28_simhash" -> {
       val bitSums = (0 until Dedup.SimhashBits).map(j =>

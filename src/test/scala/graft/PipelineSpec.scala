@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, DupClusters}
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
 import graft.text.TextAnalysis
@@ -529,5 +529,72 @@ class PipelineSpec extends AnyFunSuite {
       StratifiedSample.hashSplit(d, col("doc_id"),
         Seq(("a", 900), ("b", 800), ("c", 1000)))
     }
+  }
+
+  // ---- dup-cluster resolution (connected components) -----------------------
+
+  test("connected components ≡ union-find reference; invariant across partitionings") {
+    // two cliques joined by a bridge, a 5-chain, one isolated pair
+    val pairs: Seq[(Long, Long)] =
+      (for { a <- 10L to 13L; b <- 10L to 13L if a < b } yield (a, b)) ++
+      (for { a <- 20L to 23L; b <- 20L to 23L if a < b } yield (a, b)) ++
+      Seq((13L, 20L)) ++                       // bridge: both cliques = one component
+      Seq((30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L)) ++
+      Seq((40L, 41L)) ++
+      Seq((41L, 40L), (10L, 11L))              // reversed + duplicate inputs
+    val expected = DupClusters.componentsReference(pairs)
+    for (np <- Seq(1, 7)) {
+      val got = DupClusters.connectedComponents(pairs.toDF("id_a", "id_b").repartition(np))
+      val m = got.as[(Long, Long)].collect().toMap
+      got.unpersist()
+      assert(m == expected, s"np=$np: $m != $expected")
+    }
+  }
+
+  test("connected components: 512-node path converges in O(log n) rounds, not diameter") {
+    // a path is the adversarial case for label propagation (needs 511
+    // rounds); large-star/small-star must close it in ≤ maxIters=12
+    val pairs = (0L until 511L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = DupClusters.connectedComponents(pairs, maxIters = 12)
+    val comps = got.select("component").distinct().as[Long].collect()
+    val n = got.count()
+    got.unpersist()
+    assert(comps.toSeq == Seq(0L), s"path must collapse to component 0, got ${comps.toSeq}")
+    assert(n == 512L)
+  }
+
+  test("dupClusters: min-id representative, sizes, transitive closure of LSH pairs") {
+    // A~B and B~C emitted, (A,C) never — the cluster step must still merge
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val cl = DupClusters.dupClusters(pairs)
+    val rows = cl.as[(Long, Long, Long, Boolean)].collect().toSet
+    cl.unpersist()
+    assert(rows == Set(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (7L, 7L, 2L, true), (9L, 7L, 2L, false)))
+  }
+
+  test("dedupByPairs keeps unpaired docs and one representative per cluster") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon one",
+      2L -> "alpha beta gamma delta epsilon two",
+      3L -> "alpha beta gamma delta epsilon three",
+      4L -> "totally unrelated content about something else entirely",
+      5L -> "lone document with no duplicate partner anywhere")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = DupClusters.dedupByPairs(d, pairs).select("doc_id").as[Long].collect().toSet
+    spark.catalog.clearCache()
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("dupClusters over real minhash pairs: exact-dup triple is one cluster") {
+    val cl = DupClusters.dupClusters(
+      Dedup.minhashNearDupPairs(dupCorpus, k = 32, bands = 8, minJ = 0.5))
+    val byCluster = cl.as[(Long, Long, Long, Boolean)].collect()
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    cl.unpersist()
+    // dupCorpus: docs 1,2,5 normalized-identical (and 3 a near-dup of them)
+    val c1 = byCluster(1L)
+    assert(Set(1L, 2L, 5L).subsetOf(c1), s"exact dups split across clusters: $byCluster")
   }
 }

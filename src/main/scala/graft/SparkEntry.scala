@@ -744,6 +744,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q53_repetition" -> ((s, d) => {
+      // Gopher-style repetition filters: fraction of tokens in the top
+      // unigram / top bigram, fraction of bigram occurrences that are
+      // duplicates — the signals a curation pipeline thresholds to drop
+      // machine-generated / boilerplate pages. Kernel = one-pass per-row
+      // HashMap projection (no explode, no shuffle); each frac is ONE
+      // int-derived IEEE division (cross-engine exact per the float rule).
+      val p = TextAnalysis.repetition_prims_udf(col("text"))
+      t(s, d, "documents")
+        .withColumn("p", p)
+        .select(col("doc_id"),
+          element_at(col("p"), 1).as("n_tokens"),
+          (element_at(col("p"), 2).cast("double") /
+            greatest(element_at(col("p"), 1), lit(1L))).as("top_unigram_frac"),
+          (element_at(col("p"), 4).cast("double") /
+            greatest(element_at(col("p"), 3), lit(1L))).as("top_bigram_frac"),
+          (element_at(col("p"), 5).cast("double") /
+            greatest(element_at(col("p"), 3), lit(1L))).as("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1120,6 +1141,31 @@ object SparkEntry {
          |SELECT l.doc_id, l.cluster_id, s.cluster_size,
          | l.doc_id = l.cluster_id AS keep
          |FROM lbl l JOIN sz s USING (cluster_id) ORDER BY doc_id""".stripMargin,
+
+    "q53_repetition" ->
+      // mirror of TextAnalysis.repetitionPrims (the kernel's declarative
+      // twin): count-per-distinct over token / bigram lists, fracs as one
+      // int-derived division each
+      s"""WITH b AS (SELECT doc_id, string_split(${sqlNorm("text")}, ' ') AS t,
+         |  length(${sqlNorm("text")}) AS L FROM documents),
+         |c AS (SELECT doc_id,
+         |  CASE WHEN L = 0 THEN 0 ELSE len(t) END AS n_tokens,
+         |  CASE WHEN L = 0 THEN 0 ELSE
+         |    list_max(list_transform(list_distinct(t), u -> len(list_filter(t, x -> x = u)))) END AS top_uni,
+         |  CASE WHEN L > 0 AND len(t) >= 2 THEN
+         |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |  ELSE []::VARCHAR[] END AS bg
+         | FROM b),
+         |d AS (SELECT doc_id, n_tokens, top_uni, len(bg) AS n_bi,
+         |  coalesce(list_max(list_transform(list_distinct(bg), g -> len(list_filter(bg, x -> x = g)))), 0) AS top_bi,
+         |  coalesce(list_sum(list_filter(list_transform(list_distinct(bg),
+         |    g -> len(list_filter(bg, x -> x = g))), c -> c >= 2)), 0) AS dup_occ
+         | FROM c)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(top_uni AS DOUBLE) / greatest(n_tokens, 1) AS top_unigram_frac,
+         | CAST(top_bi AS DOUBLE) / greatest(n_bi, 1) AS top_bigram_frac,
+         | CAST(dup_occ AS DOUBLE) / greatest(n_bi, 1) AS dup_bigram_frac
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q28_simhash" -> {
       val bitSums = (0 until Dedup.SimhashBits).map(j =>

@@ -352,4 +352,80 @@ object TextAnalysis {
   /** Column form of [[winnowKernel]] (deterministic UDF). */
   val winnow_udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf((s: String) => winnowKernel(s))
+
+  // --- repetition signals (Gopher-style quality filters) ---------------------
+
+  /** Repetition primitives over the normalized token stream — the raw
+    * INTEGER counts behind the Gopher-family repetition filters (fraction
+    * of tokens in the top unigram / top bigram, fraction of bigram
+    * occurrences that are duplicates). Machine-generated and boilerplate
+    * web text scores high on these; a curation pipeline thresholds them
+    * right after language-ID. Emitting counts (ratios are computed as one
+    * int-derived IEEE division at the query layer) keeps the cross-engine
+    * contract exact.
+    *
+    * Returns [n_tokens, top_unigram, n_bigrams, top_bigram,
+    * dup_bigram_occ]; null text → null (matches the declarative twin's
+    * null propagation). One pass, one HashMap per row, no explode — at
+    * corpus scale this is a row-local projection with NO shuffle, where
+    * the explode+groupBy form would shuffle one row per token. */
+  def repetitionPrimsKernel(text: String): Array[Long] = {
+    if (text == null) return null
+    val nt = normTextJvm(text)
+    if (nt.isEmpty) return Array(0L, 0L, 0L, 0L, 0L)
+    val toks = nt.split(' ')
+    val uni = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < toks.length) { uni.merge(toks(i), 1L, _ + _); i += 1 }
+    var topUni = 0L
+    uni.values.forEach(v => if (v > topUni) topUni = v)
+    val nBi = toks.length - 1
+    var topBi = 0L
+    var dup = 0L
+    if (nBi > 0) {
+      val bi = new java.util.HashMap[String, Long]()
+      i = 0
+      while (i < nBi) { bi.merge(toks(i) + " " + toks(i + 1), 1L, _ + _); i += 1 }
+      bi.values.forEach { v =>
+        if (v > topBi) topBi = v
+        if (v >= 2) dup += v
+      }
+    }
+    Array(toks.length.toLong, topUni, math.max(nBi, 0).toLong, topBi, dup)
+  }
+
+  /** Column form of [[repetitionPrimsKernel]] (deterministic UDF). */
+  val repetition_prims_udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((s: String) => repetitionPrimsKernel(s))
+
+  /** Declarative twin of [[repetitionPrimsKernel]] — row-local higher-order
+    * functions over the token array, quadratic per row (count-per-distinct
+    * re-scans the array), which is exactly the shape the DuckDB oracle
+    * mirrors. The kernel is the production path; parity is spec-pinned. */
+  def repetitionPrims(text: Column): Column = {
+    val t = split(normText(text), " ")
+    val nTokens = when(length(normText(text)) === 0, lit(0)).otherwise(size(t))
+    def topCount(arr: Column): Column =
+      coalesce(
+        array_max(transform(array_distinct(arr),
+          u => size(filter(arr, x => x === u)).cast("long"))),
+        lit(0L))
+    val bg = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val dupOcc = coalesce(
+      aggregate(
+        transform(array_distinct(bg), g => size(filter(bg, x => x === g)).cast("long")),
+        lit(0L),
+        (acc, c) => acc + when(c >= 2, c).otherwise(lit(0L))),
+      lit(0L))
+    when(text.isNull, lit(null))
+      .otherwise(array(
+        nTokens.cast("long"),
+        when(nTokens === 0, lit(0L)).otherwise(topCount(t)),
+        size(bg).cast("long"),
+        topCount(bg),
+        dupOcc))
+  }
 }

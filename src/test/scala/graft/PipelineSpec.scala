@@ -531,6 +531,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition-prims kernel ≡ declarative HOF twin (q53 oracle contract)") {
+    val corpus = Seq(
+      (1L, "spam spam spam spam spam"),                       // one token dominates
+      (2L, "buy now buy now buy now limited offer"),          // repeated bigram
+      (3L, "each word appears exactly once here today"),      // no repetition
+      (4L, "solo"),                                           // single token, no bigrams
+      (5L, ""),                                               // empty
+      (6L, "   "),                                            // whitespace-only
+      (7L, "a b a b a c a b"),                                // mixed uni/bi repetition
+      (8L, null.asInstanceOf[String]))                        // null propagates
+      .toDF("doc_id", "text")
+    val k = corpus.select(col("doc_id"),
+      TextAnalysis.repetition_prims_udf(col("text")).as("p"))
+      .as[(Long, Array[Long])].collect().toMap
+    val d = corpus.select(col("doc_id"),
+      TextAnalysis.repetitionPrims(col("text")).as("p"))
+      .as[(Long, Array[Long])].collect().toMap
+    for (id <- 1L to 8L)
+      assert(java.util.Arrays.equals(k(id), d(id)),
+        s"doc $id: kernel ${Option(k(id)).map(_.toSeq)} != declarative ${Option(d(id)).map(_.toSeq)}")
+    // spot-check the arithmetic: doc 1 = 5 tokens all "spam", 4 dup bigrams
+    assert(k(1L).toSeq == Seq(5L, 5L, 4L, 4L, 4L))
+    // doc 7: 8 tokens, "a"×4; 7 bigrams, "a b"×3, "b a"×2 → dup occ 5
+    assert(k(7L).toSeq == Seq(8L, 4L, 7L, 3L, 5L))
+    assert(k(8L) == null && d(8L) == null)
+  }
+
   // ---- dup-cluster resolution (connected components) -----------------------
 
   test("connected components ≡ union-find reference; invariant across partitionings") {

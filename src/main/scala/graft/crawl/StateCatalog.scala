@@ -53,6 +53,35 @@ trait StateCatalog {
       abort: () => Boolean = () => false): String
   /** Metrics map of a committed round (lineage accounting). */
   def metricsOf(round: Int): Map[String, Long]
+
+  // --- maintenance (Iceberg: rewriteDataFiles / expireSnapshots /
+  // removeOrphanFiles). Run these QUIESCED (between crawls) — they assume
+  // no commit is in flight, the same contract Iceberg maintenance actions
+  // have. Default no-ops so wrapper/test catalogs stay source-compatible.
+
+  /** Fold `table`'s append-delta chain (as of the latest snapshot) into one
+    * base file set and republish the latest manifest with the 1-element
+    * chain — a metadata-only swap: round numbering, sibling tables and
+    * metrics are untouched, and readers holding older manifests keep their
+    * snapshot because nothing is deleted (that is [[vacuumOrphans]]' job,
+    * gated on reference counting). A 10^10-row seen set accumulates one
+    * delta per round; without periodic folding every cold resume re-reads
+    * an O(rounds)-file chain. Returns the number of chain links folded
+    * (0 = already compact). */
+  def compactTable(spark: SparkSession, table: String): Int = 0
+
+  /** Drop per-round history BEFORE `keepFrom`: the `keepFrom` manifest is
+    * squashed to carry the RESOLVED chain of every table visible at that
+    * round (so loads and resume behave identically at and after the
+    * horizon), then older manifests are deleted. Time-travel and per-round
+    * metrics before the horizon are forfeited — the trade expiry always
+    * makes. Returns the expired round numbers. */
+  def expireSnapshots(keepFrom: Int): Seq[Int] = Seq.empty
+
+  /** Delete data directories referenced by NO remaining manifest (run after
+    * [[compactTable]]/[[expireSnapshots]] have unreferenced them). Returns
+    * the deleted relpaths. */
+  def vacuumOrphans(): Seq[String] = Seq.empty
 }
 
 final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
@@ -186,13 +215,82 @@ final class HadoopSnapshotCatalog(rootDir: String) extends StateCatalog {
     if (abort()) throw new IllegalStateException(
       s"commit r$round aborted by caller before manifest publication")
     val snapshotId = f"r$round%06d"
-    val body = (entries ++ metricEntries + ("snapshot_id" -> snapshotId) + ("round" -> round.toString))
-      .map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    writeManifestAtomic(round,
+      entries ++ metricEntries + ("snapshot_id" -> snapshotId) + ("round" -> round.toString))
+    snapshotId
+  }
+
+  private def writeManifestAtomic(round: Int, flat: Map[String, String]): Unit = {
+    val body = flat.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
     val tmpManifest = manifestDir.resolve(s".manifest_$round.tmp")
     Files.write(tmpManifest, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmpManifest, manifestPath(round), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    snapshotId
+  }
+
+  override def compactTable(spark: SparkSession, table: String): Int = {
+    val latest = latestRound.getOrElse(return 0)
+    val rel = relsOf(table, latest).getOrElse(return 0)
+    val parts = rel.split(',')
+    if (parts.length <= 1) return 0
+    val df = spark.read.parquet(parts.map(r => root.resolve(r).toString).toIndexedSeq: _*)
+    // 'c' suffix: the compacted base belonging to this snapshot — never
+    // collides with a round's own delta dir, and a later compaction at a
+    // later round gets its own name
+    val relC = f"$table/r$latest%06dc"
+    val tmp = root.resolve(relC + ".tmp")
+    val fin = root.resolve(relC)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (Files.exists(fin)) deleteRecursively(fin)
+    Files.move(tmp, fin, StandardCopyOption.ATOMIC_MOVE)
+    // metadata-only swap on the latest manifest; all other entries
+    // (sibling tables, metrics, snapshot id) ride along unchanged
+    writeManifestAtomic(latest, readManifest(latest).updated(s"table.$table", relC))
+    parts.length
+  }
+
+  /** Every table name mentioned by any manifest ≤ `upTo`. */
+  private def tablesVisible(upTo: Int): Set[String] =
+    (0 to upTo).iterator.filter(r => Files.exists(manifestPath(r)))
+      .flatMap(r => readManifest(r).keysIterator
+        .filter(_.startsWith("table.")).map(_.stripPrefix("table.")))
+      .toSet
+
+  override def expireSnapshots(keepFrom: Int): Seq[Int] = {
+    val latest = latestRound.getOrElse(return Seq.empty)
+    require(keepFrom <= latest, s"keepFrom $keepFrom is beyond latest round $latest")
+    if (!Files.exists(manifestPath(keepFrom)))
+      throw new IllegalArgumentException(s"no manifest at horizon round $keepFrom")
+    // squash: the horizon manifest must resolve every table on its own,
+    // because the walk-back below it is about to disappear
+    val resolved = tablesVisible(keepFrom).flatMap(t =>
+      relsOf(t, keepFrom).map(rel => s"table.$t" -> rel)).toMap
+    writeManifestAtomic(keepFrom, readManifest(keepFrom) ++ resolved)
+    val expired = (0 until keepFrom).filter(r => Files.exists(manifestPath(r)))
+    expired.foreach(r => Files.deleteIfExists(manifestPath(r)))
+    expired
+  }
+
+  override def vacuumOrphans(): Seq[String] = {
+    val latest = latestRound.getOrElse(return Seq.empty)
+    val referenced: Set[String] =
+      (0 to latest).iterator.filter(r => Files.exists(manifestPath(r)))
+        .flatMap(r => readManifest(r).iterator
+          .collect { case (k, v) if k.startsWith("table.") => v.split(',').toSeq }
+          .flatten)
+        .toSet
+    val dataDir = """r\d{6}c?""".r
+    val deleted = Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString != "_manifests")
+      .flatMap { tdir =>
+        Files.list(tdir).iterator().asScala
+          .filter(p => dataDir.matches(p.getFileName.toString))
+          .map(p => (p, s"${tdir.getFileName}/${p.getFileName}"))
+      }
+      .filterNot { case (_, rel) => referenced.contains(rel) }
+      .toSeq
+    deleted.foreach { case (p, _) => deleteRecursively(p) }
+    deleted.map(_._2)
   }
 
   override def metricsOf(round: Int): Map[String, Long] = {

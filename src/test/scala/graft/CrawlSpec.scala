@@ -779,4 +779,41 @@ class CrawlSpec extends AnyFunSuite {
       assert(sketches(pid).mightContain(KeyHash.of(u)), s"cuckoo false negative for $u")
     }
   }
+
+  test("catalog maintenance: compact + expire + vacuum keep state; resumed crawl identical") {
+    val dirA = tmp(); val dirB = tmp()
+    runCrawl(dirA, 1000, 8, 3) // control: uninterrupted 3 rounds
+    val (catB, _, _) = runCrawl(dirB, 1000, 8, 2)
+    def seenSet(c: StateCatalog) = c.load(spark, "url_seen_exact").get
+      .select("canon_url").collect().map(_.getString(0)).toSet
+    val before = seenSet(catB)
+
+    // the monotone seen set accumulated bootstrap + 2 round deltas
+    val folded = catB.compactTable(spark, "url_seen_exact")
+    assert(folded >= 3, s"expected a ≥3-link chain to fold, got $folded")
+    assert(catB.compactTable(spark, "url_seen_exact") == 0, "second compact must be a no-op")
+    assert(seenSet(catB) == before, "compaction changed the visible row set")
+
+    // expire history below the latest snapshot, then vacuum the orphans
+    val latest = catB.latestRound.get
+    val expired = catB.expireSnapshots(latest)
+    assert(expired.nonEmpty, "expected pre-horizon manifests to expire")
+    val removed = catB.vacuumOrphans()
+    assert(removed.nonEmpty, s"folded deltas + expired files should orphan, got $removed")
+    assert(removed.exists(_.startsWith("url_seen_exact/")),
+      s"the folded seen-set deltas must be vacuumable: $removed")
+    assert(seenSet(catB) == before, "expiry/vacuum changed the visible row set")
+    assert(catB.vacuumOrphans().isEmpty, "second vacuum must find nothing")
+
+    // resume round 3 on the maintained catalog from a FRESH handle: the
+    // round must equal the control's round 3 exactly (order + status)
+    val catB2 = new HadoopSnapshotCatalog(dirB)
+    Crawl.runRounds(spark, catB2, cfg, 1)
+    def round3(c: StateCatalog) = c.load(spark, "fetch_log", Some(3)).get
+      .orderBy("fetch_seq").select("fetch_seq", "canon_url", "status").collect()
+    val a = round3(new HadoopSnapshotCatalog(dirA))
+    val b = round3(catB2)
+    assert(a.length == b.length && a.sameElements(b),
+      "crawl resumed after maintenance diverged from the uninterrupted control")
+  }
 }

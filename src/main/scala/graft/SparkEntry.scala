@@ -765,6 +765,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q54_curation_pipeline" -> ((s, d) => {
+      // the whole curation composition as ONE operator (annotate → filter →
+      // exact dedup → near-dup cluster dedup → leakage-free split): every
+      // stage is an already-oracle-checked operator, so the composition has
+      // an exact end-to-end DuckDB mirror. Split is assigned AFTER dedup so
+      // no near-dup pair can straddle train/test.
+      import graft.operators.CuratePipeline
+      CuratePipeline.curate(docsWithDups(s, d)).orderBy(col("doc_id"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1166,6 +1176,91 @@ object SparkEntry {
          | CAST(top_bi AS DOUBLE) / greatest(n_bi, 1) AS top_bigram_frac,
          | CAST(dup_occ AS DOUBLE) / greatest(n_bi, 1) AS dup_bigram_frac
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q54_curation_pipeline" -> {
+      // end-to-end mirror of CuratePipeline.curate: q21 lang scores + q22
+      // quality closed form + q53 repetition fracs → thresholds → min-id
+      // per md5 → q27 minhash chain over the survivors → q52 recursive
+      // closure → q51 split arithmetic
+      val scores = TextAnalysis.langMarkers.map { case (l, _) => s"${sqlLangScore(l)} AS s_$l" }
+      val best = s"greatest(${TextAnalysis.langMarkers.map(m => s"s_${m._1}").mkString(", ")})"
+      val total = TextAnalysis.langMarkers.map(m => s"s_${m._1}").mkString(" + ")
+      val cases = TextAnalysis.langMarkers.map { case (l, _) =>
+        s"WHEN ($total) > 0 AND s_$l = $best THEN '$l'" }.mkString(" ")
+      val stopSum = TextAnalysis.qualityStopwords
+        .map(w => sqlCountOcc("pt", s" $w ")).mkString("(", " + ", ")")
+      s"""WITH RECURSIVE d2 AS ($sqlD2),
+         |base AS (SELECT doc_id, text, nt, pt, string_split(nt, ' ') AS t, length(nt) AS L
+         |  FROM (SELECT doc_id, text, ${sqlNorm("text")} AS nt, ${sqlPadded("text")} AS pt FROM d2)),
+         |sc AS (SELECT doc_id, ${scores.mkString(", ")} FROM base),
+         |lang AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_id FROM sc),
+         |qm AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CASE WHEN nt = '' THEN 0 ELSE ${sqlCountOcc("nt", " ")} + 1 END AS n_words,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+         |  $stopSum AS stop
+         | FROM base),
+         |q AS (SELECT doc_id,
+         |  least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+         |   + least((CAST(stop AS DOUBLE) * 5.0) / greatest(CAST(n_words AS DOUBLE), 1.0), 1.0) * 0.3
+         |   + (1.0 - least(CAST(digits AS DOUBLE) * 3.0 / CAST(greatest(n_chars, 1) AS DOUBLE), 1.0)) * 0.3
+         |   AS quality FROM qm),
+         |rep AS (SELECT doc_id,
+         |  CASE WHEN L = 0 THEN 0 ELSE len(t) END AS n_tokens,
+         |  CASE WHEN L = 0 THEN 0 ELSE
+         |    list_max(list_transform(list_distinct(t), u -> len(list_filter(t, x -> x = u)))) END AS top_uni,
+         |  CASE WHEN L > 0 AND len(t) >= 2 THEN
+         |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         |  ELSE []::VARCHAR[] END AS bg
+         | FROM base),
+         |repd AS (SELECT doc_id,
+         |  CAST(top_uni AS DOUBLE) / greatest(n_tokens, 1) AS top_uni_frac,
+         |  CAST(coalesce(list_sum(list_filter(list_transform(list_distinct(bg),
+         |    g -> len(list_filter(bg, x -> x = g))), c -> c >= 2)), 0) AS DOUBLE)
+         |   / greatest(len(bg), 1) AS dup_bi_frac
+         | FROM rep),
+         |filtered AS (SELECT b.doc_id, b.nt, b.t, lang_id, quality
+         | FROM base b JOIN lang USING (doc_id) JOIN q USING (doc_id) JOIN repd USING (doc_id)
+         | WHERE lang_id <> 'und' AND quality >= 0.5
+         |   AND top_uni_frac <= 0.5 AND dup_bi_frac <= 0.6),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(nt)),
+         |ex AS (SELECT f.* FROM filtered f JOIN keep USING (doc_id)),
+         |sh AS (SELECT doc_id, $sqlShingles AS s FROM ex),
+         |hs AS (SELECT doc_id, list_transform(s, g -> ${sqlH64("g")}) AS h1s,
+         |  list_transform(s, g -> ${sqlH64(s"'${graft.functions.Hash64.Km2Prefix}' || g")}) AS h2s FROM sh),
+         |sig AS (SELECT doc_id, list_transform(range(32),
+         |  i -> list_min(list_transform(range(len(h1s)),
+         |    j -> ${sqlKm("h1s[j+1]", "h2s[j+1]", "i")}))) AS sig
+         | FROM hs),
+         |band AS (SELECT doc_id, band_idx,
+         |  ${sqlH64("band_idx::VARCHAR || '|' || array_to_string(list_transform(list_slice(sig, band_idx*4+1, band_idx*4+4), x -> x::VARCHAR), ',')")} AS band_hash
+         | FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band_idx) r),
+         |capped AS (SELECT band_idx, band_hash FROM band GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         | FROM band x JOIN band y USING (band_idx, band_hash)
+         |  JOIN capped USING (band_idx, band_hash)
+         | WHERE x.doc_id < y.doc_id),
+         |pv AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) /
+         |   greatest(CAST(len(a.s) + len(c.s) AS DOUBLE) - CAST(len(list_intersect(a.s, c.s)) AS DOUBLE), 1.0) AS jaccard
+         | FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh c ON c.doc_id = cand.id_b),
+         |pf AS (SELECT id_a, id_b FROM pv WHERE jaccard >= 0.5),
+         |vn AS (SELECT id_a AS v FROM pf UNION SELECT id_b FROM pf),
+         |eg AS (SELECT id_a AS u, id_b AS v FROM pf UNION SELECT id_b, id_a FROM pf),
+         |reach AS (
+         |  SELECT v AS src, v AS dst FROM vn
+         |  UNION
+         |  SELECT r.src, eg.v FROM reach r JOIN eg ON r.dst = eg.u),
+         |losers AS (SELECT src AS doc_id FROM reach GROUP BY src HAVING src <> min(dst)),
+         |surv AS (SELECT doc_id, lang_id, quality FROM ex
+         | WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |sp AS (SELECT doc_id, lang_id, quality,
+         |  ((doc_id * 2654435761) % 1000000007) % 1000 AS bucket FROM surv)
+         |SELECT doc_id, lang_id, quality,
+         | CASE WHEN bucket < 980 THEN 'train'
+         |      WHEN bucket < 990 THEN 'valid' ELSE 'test' END AS split
+         |FROM sp ORDER BY doc_id""".stripMargin
+    },
 
     "q28_simhash" -> {
       val bitSums = (0 until Dedup.SimhashBits).map(j =>

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, DupClusters}
+import graft.text.TextAnalysis
+
+/** Thresholds and knobs for [[CuratePipeline.curate]]. Defaults are the
+  * customary web-corpus starting points; every boundary comparison is on a
+  * value both engines compute bit-identically (kernel parity + the single
+  * int-derived-IEEE-division float rule), so threshold semantics are exact
+  * — no epsilon, no boundary flapping between engines. */
+final case class CurateConfig(
+    dropUnknownLang: Boolean = true,
+    minQuality: Double = 0.5,
+    maxTopUnigramFrac: Double = 0.5,
+    maxDupBigramFrac: Double = 0.6,
+    minhashK: Int = 32,
+    minhashBands: Int = 8,
+    minJaccard: Double = 0.5,
+    splits: Seq[(String, Int)] = Seq(("train", 980), ("valid", 990), ("test", 1000)),
+    splitSeed: Long = 0L,
+    kernels: Boolean = true)
+
+/**
+ * End-to-end training-data curation: the composition a corpus pipeline
+ * actually runs, as ONE operator —
+ *
+ *   annotate (lang-ID, quality, repetition)   — fused row-local projection
+ *   → threshold filter                        — same stage, no shuffle yet
+ *   → exact dedup (min doc_id per md5)        — one hash aggregate
+ *   → near-dup removal                        — MinHash+LSH pairs → CC →
+ *                                               keep one per cluster
+ *   → train/valid/test hash split             — row-local projection
+ *
+ * Scale shape: everything before exact dedup is a single narrow stage
+ * (three one-pass kernels per row, filters fused by codegen); the first
+ * shuffle is the dedup aggregate over the FILTERED corpus (quality gates
+ * run before dedup precisely because they shrink the expensive stages'
+ * input); near-dup discovery is the bounded-bucket LSH path (never
+ * all-pairs) and cluster resolution is O(log n)-round large-star/
+ * small-star. The split is assigned AFTER dedup so no near-duplicate pair
+ * can straddle train/test — the leakage a curation pipeline exists to
+ * prevent.
+ *
+ * Every stage reuses the oracle-checked operator (q21/q22/q53/q25/q27/q52/
+ * q51 contracts), so the whole composition has an exact DuckDB mirror
+ * (q54).
+ */
+object CuratePipeline {
+
+  /** Per-doc annotation columns: (lang_id, quality, rep prims). Kernel
+    * forms by default; `kernels = false` swaps in the declarative twins
+    * (identical values — spec-pinned parity — just slower). */
+  private def annotate(docs: DataFrame, kernels: Boolean): DataFrame = {
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val lang =
+      if (kernels) {
+        val markers = TextAnalysis.langMarkers
+          .flatMap { case (_, ws) => ws.map(w => s" $w ") }.toArray
+        val nPerLang = TextAnalysis.langMarkers.head._2.size
+        val mc = TextAnalysis.markerCountsUdf(markers)(col("text"))
+        TextAnalysis.langIdFromScores(langs.zipWithIndex.map { case (l, i) =>
+          l -> (0 until nPerLang).map(j => element_at(mc, i * nPerLang + j + 1))
+            .reduce(_ + _)
+        })
+      } else TextAnalysis.langId(col("text"))
+    val quality =
+      if (kernels) TextAnalysis.qualityScoreFromPrims(
+        TextAnalysis.quality_prims_udf(col("text")))
+      else TextAnalysis.qualityScore(col("text"))
+    val rep =
+      if (kernels) TextAnalysis.repetition_prims_udf(col("text"))
+      else TextAnalysis.repetitionPrims(col("text"))
+    docs
+      .withColumn("lang_id", lang)
+      .withColumn("quality", quality)
+      .withColumn("rp", rep)
+  }
+
+  private def repFrac(countIdx: Int, denomIdx: Int): Column =
+    element_at(col("rp"), countIdx).cast("double") /
+      greatest(element_at(col("rp"), denomIdx), lit(1L))
+
+  /** Runs the full pipeline over `docs(doc_id, text, ...)`. Returns one row
+    * per SURVIVING document: (doc_id, lang_id, quality, split).
+    *
+    * Cache contract: rides [[DupClusters.dedupByPairs]]' pinned loser set
+    * (small — one row per clustered doc); release via the session cache
+    * when done, as the bench harness does. */
+  def curate(docs: DataFrame, cfg: CurateConfig = CurateConfig()): DataFrame = {
+    // transient pin: the annotated+filtered frame has TWO consumers (the
+    // dedup aggregate and the semi-join's probe side) — unpinned, the three
+    // annotation kernels would run over the full corpus twice, the most
+    // expensive recompute in the pipeline. Released once the smaller
+    // post-dedup frame is forced.
+    val filtered = annotate(docs, cfg.kernels)
+      .filter(
+        (lit(!cfg.dropUnknownLang) || col("lang_id") =!= "und") &&
+        col("quality") >= cfg.minQuality &&
+        repFrac(2, 1) <= cfg.maxTopUnigramFrac &&
+        repFrac(5, 3) <= cfg.maxDupBigramFrac)
+      .persist()
+
+    // exact dedup: ONE aggregate keyed by the content fingerprint (map-side
+    // partial min collapses per-partition duplicate groups pre-shuffle),
+    // then a semi-join shaped re-attach of the surviving rows
+    val keepIds = filtered
+      .groupBy(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // pinned + forced: four consumers read this frame (signature build,
+    // shingle verification, the survivor anti-join's doc side, the final
+    // projection) — unpinned, each would re-run the kernel annotate +
+    // filter + dedup aggregate from the scan. Same caller-release contract
+    // as dupClusters (the bench harness clearCache()s between queries).
+    val exact = filtered.join(keepIds, Seq("doc_id"), "left_semi").persist()
+    exact.count()
+    filtered.unpersist()
+
+    val pairs = Dedup.minhashNearDupPairs(
+      exact, cfg.minhashK, cfg.minhashBands, cfg.minJaccard, kernel = cfg.kernels)
+    val survivors = DupClusters.dedupByPairs(exact, pairs)
+
+    StratifiedSample.hashSplit(survivors, col("doc_id"), cfg.splits, cfg.splitSeed)
+      .select(col("doc_id"), col("lang_id"), col("quality"), col("split"))
+  }
+}

@@ -558,6 +558,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(k(8L) == null && d(8L) == null)
   }
 
+  test("curation pipeline: junk filtered, dups collapsed, split leak-free; kernels ≡ declarative") {
+    import graft.operators.{CurateConfig, CuratePipeline}
+    val good = (1 to 12).map { i =>
+      // enough English markers to classify AND clear the quality stop-term
+      (i.toLong, s"the quick item $i and the other of to in the end " +
+        s"word${i}a word${i}b word${i}c word${i}d word${i}e")
+    }
+    val corpus = docs((good ++ Seq(
+      (101L, good(0)._2),                                  // exact dup of 1
+      (102L, good(1)._2 + " and the tail"),                // near dup of 2 (J ≈ 0.83)
+      (201L, "spam spam spam spam spam spam spam spam"),   // repetition junk
+      (202L, "palabras sin marcadores reconocibles aqui"), // 'und' lang
+      (203L, "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9 0"))  // digit junk
+    ): _*)
+    val cfg = CurateConfig(minQuality = 0.3, maxTopUnigramFrac = 0.4)
+    val out = CuratePipeline.curate(corpus, cfg)
+      .select("doc_id", "lang_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    spark.catalog.clearCache()
+    val ids = out.map(_._1).toSet
+    assert(!ids.contains(201L) && !ids.contains(202L) && !ids.contains(203L),
+      s"junk docs must be filtered: $ids")
+    assert(!ids.contains(101L), "exact dup must lose to min id 1")
+    assert(!ids.contains(102L), "near dup must lose to min id 2")
+    assert(ids.contains(1L) && ids.contains(2L), s"representatives must survive: $ids")
+    assert(out.forall(_._2 == "en"), s"survivors must be lang-tagged: ${out.toSeq}")
+
+    // whole-pipeline kernel ≡ declarative parity
+    val decl = CuratePipeline.curate(corpus, cfg.copy(kernels = false))
+      .select("doc_id", "lang_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    spark.catalog.clearCache()
+    assert(out.sortBy(_._1).toSeq == decl.sortBy(_._1).toSeq,
+      "kernel and declarative pipelines diverged")
+  }
+
   // ---- dup-cluster resolution (connected components) -----------------------
 
   test("connected components ≡ union-find reference; invariant across partitionings") {

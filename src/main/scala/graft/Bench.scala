@@ -508,6 +508,21 @@ object DedupScalingBench {
         minJ = 0.5, hasher = DedupHasher.production, kernel = true)),
       "simhash_pigeonhole" -> (s => Dedup.simhashNearDupPairs(docs(s), maxDist = 3,
         hasher = DedupHasher.production, kernel = true)),
+      "dup_clusters" -> { s =>
+        // CC cluster-resolution scaling, isolated from the pair finders
+        // (their rows are above): a deterministic pseudo-random pair graph
+        // at ~1.5 edges/node — supercritical, so one giant component plus
+        // long chain tails, the ADVERSARIAL shape for connected components
+        // (real near-dup graphs are many small cliques, strictly easier;
+        // a clique graph would converge in 1-2 rounds and measure mostly
+        // fixed cost). Node count scales with mult like the corpora above.
+        val n = 200000L * mult
+        val edges = s.range(n * 3 / 2).select(
+          pmod(xxhash64(col("id"), lit(1)), lit(n)).as("id_a"),
+          pmod(xxhash64(col("id"), lit(2)), lit(n)).as("id_b"))
+          .repartition(P)
+        graft.dedup.DupClusters.dupClusters(edges)
+      },
       "embedding_rhp_lsh" -> { s =>
         // explicit bucket repartition BEFORE the self-join: the join's
         // input shuffle is tiny (200k × ~80 B) so AQE coalesces it to ~1

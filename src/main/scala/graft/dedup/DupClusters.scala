@@ -83,10 +83,18 @@ object DupClusters {
     // checkpoint when the session has a checkpoint dir (the cluster
     // deployment — survives executor loss, same contract as the crawl's
     // pipelineHop="checkpoint"); localCheckpoint otherwise (local/test).
+    // LAZY in both tiers: the checksum action right after is the first job
+    // and doubles as the forcing action — eager would submit a dedicated
+    // count() job per iteration just to force it, adding one driver barrier
+    // per round (the core-count-independent Amdahl term this loop pays;
+    // measured 1→4 efficiency moved with it). localCheckpoint materializes
+    // entirely inside that first job (truncation reuses its cached blocks);
+    // reliable checkpoint still runs Spark's separate write job afterwards —
+    // lazy saves the extra barrier, not the write.
     val sc = pairs.sparkSession.sparkContext
     def truncate(df: DataFrame): DataFrame =
-      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
 
     val init = truncate(pairs
       .select(greatest(col(aCol), col(bCol)).as(Hi),

@@ -775,6 +775,47 @@ object SparkEntry {
       CuratePipeline.curate(docsWithDups(s, d)).orderBy(col("doc_id"))
     }),
 
+    "q55_decontaminate" -> ((s, d) => {
+      // train/eval DECONTAMINATION: the benchmark-leakage gate a corpus
+      // runs before it ships. Benchmark = the deterministic doc_id%97==0
+      // slice standing in for an eval suite; a train doc is contaminated
+      // when it shares any word-n-gram shingle with any benchmark doc.
+      // The bench side reduces to its distinct shingle set (tiny vs the
+      // corpus ⇒ broadcast); the train side is one explode + one hash agg.
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q56_boilerplate" -> ((s, d) => {
+      // corpus-frequency BOILERPLATE signal (CCNet/C4 at shingle
+      // granularity): a shingle present in ≥ 5% of all docs is boilerplate;
+      // each doc reports its boilerplate shingle fraction for threshold
+      // filtering. One doc-frequency hash agg + one semi-join — nothing
+      // quadratic, nothing collected.
+      Dedup.boilerplateStats(t(s, d, "documents"), minDocPermille = 50)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q57_domain_mix" -> ((s, d) => {
+      // DOMAIN-MIX sampling under per-source token budgets (the Pile/Dolma
+      // mixing move): per source, keep the maximal hash-priority prefix
+      // whose cumulative whitespace-token count fits the source's budget.
+      // Histogram-quota + exact-boundary plan — the naive per-stratum
+      // running-sum window only ever runs over one ~1/nBuckets bucket.
+      import graft.operators.StratifiedSample
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", TextAnalysis.wsTokenCount(col("text")))
+      StratifiedSample.tokenBudgetSample(
+          docs, col("source"), col("doc_id"), col("n_tokens"),
+          defaultBudget = 700L, budgets = Map("src0" -> 600L, "src1" -> 900L))
+        .select(col("stratum").as("source"), col("key").as("doc_id"),
+          col("pri"), col("w").as("n_tokens"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1558,5 +1599,45 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CAST(doc_id % 8 * 160 + 320 AS INTEGER) AS width,
         | CAST(doc_id % 8 * 90 + 180 AS INTEGER) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q55_decontaminate" ->
+      s"""WITH tr AS (SELECT doc_id, ${sqlNorm("text")} AS nt FROM documents WHERE doc_id % 97 <> 0),
+         |be AS (SELECT ${sqlNorm("text")} AS nt FROM documents WHERE doc_id % 97 = 0),
+         |tsh AS (SELECT doc_id, unnest($sqlShingles) AS s
+         |        FROM (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM tr)),
+         |bsh AS (SELECT DISTINCT unnest($sqlShingles) AS s
+         |        FROM (SELECT nt, string_split(nt, ' ') AS t FROM be)),
+         |hits AS (SELECT doc_id, count(*) AS n_hit_shingles
+         |         FROM tsh JOIN bsh USING (s) GROUP BY doc_id)
+         |SELECT tr.doc_id,
+         |  CAST(coalesce(h.n_hit_shingles, 0) AS BIGINT) AS n_hit_shingles,
+         |  coalesce(h.n_hit_shingles, 0) > 0 AS contaminated
+         |FROM tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+         |ORDER BY tr.doc_id""".stripMargin,
+
+    "q56_boilerplate" ->
+      s"""WITH b AS (SELECT doc_id, ${sqlNorm("text")} AS nt FROM documents),
+         |sh AS (SELECT doc_id, unnest($sqlShingles) AS s
+         |       FROM (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM b)),
+         |n AS (SELECT CAST(floor((count(*) * 50 + 999) / 1000.0) AS BIGINT) AS thresh FROM documents),
+         |fl AS (SELECT s FROM sh, n GROUP BY s, thresh HAVING count(*) >= thresh),
+         |bp AS (SELECT doc_id, count(*) AS n_boilerplate
+         |       FROM sh WHERE s IN (SELECT s FROM fl) GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+         |SELECT tot.doc_id, CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(bp.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+         |  CAST(coalesce(bp.n_boilerplate, 0) AS DOUBLE) / CAST(tot.n_shingles AS DOUBLE) AS boilerplate_frac
+         |FROM tot LEFT JOIN bp ON tot.doc_id = bp.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q57_domain_mix" ->
+      s"""WITH p AS (SELECT source, doc_id,
+         |    (doc_id * 2654435761) % 1000000007 AS pri,
+         |    CASE WHEN nt = '' THEN 0 ELSE ${sqlCountOcc("nt", " ")} + 1 END AS n_tokens
+         |  FROM (SELECT source, doc_id, ${sqlNorm("text")} AS nt FROM documents)),
+         |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id) AS cum FROM p)
+         |SELECT source, doc_id, pri, CAST(n_tokens AS BIGINT) AS n_tokens FROM c
+         |WHERE cum <= CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 900 ELSE 700 END
+         |ORDER BY source, doc_id""".stripMargin)
 }

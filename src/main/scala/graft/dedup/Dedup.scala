@@ -540,4 +540,86 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"), col("cos"))
   }
+
+  // --- corpus overlap: decontamination & boilerplate -------------------------
+
+  /** Train/eval DECONTAMINATION by shingle overlap: for every `train` doc,
+    * count the word-n-gram shingles it shares with ANY `bench` doc and flag
+    * it contaminated when the count is positive. This is the standard
+    * benchmark-leakage gate a training-data pipeline runs before a corpus
+    * ships (the production n is 8–13 tokens; the harness query uses the
+    * 3-gram family so the DuckDB oracle reuses the q26/q27 shingle mirror —
+    * n is a parameter, the dataflow is identical).
+    *
+    * Scale shape: the bench side reduces to its DISTINCT shingle set — a
+    * benchmark suite is tiny next to a 100 TB corpus, so the inner join is
+    * broadcast-eligible (hinted; AQE falls back to a shuffle join above the
+    * threshold, and the join key is the shingle so no host/doc skew). The
+    * train side is one explode + one hash aggregation on (doc, shingle
+    * already distinct per doc via shinglesOf) — no all-pairs anywhere, and
+    * zero-hit docs never shuffle (they re-enter via the left join against
+    * the ≤|train| hit table).
+    */
+  def decontaminate(
+      train: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    val trainSh = withShingles(train, idCol, textCol, n = n)
+      .select(col(idCol), explode(col("sh")).as("s"))
+    val benchSh = withShingles(bench, idCol, textCol, n = n)
+      .select(explode(col("sh")).as("s")).distinct()
+    // shinglesOf is distinct-per-doc, so count(1) == distinct shared shingles
+    val hits = trainSh.join(broadcast(benchSh), Seq("s"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit_shingles"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        (coalesce(col("n_hit_shingles"), lit(0L)) > 0L).as("contaminated"))
+  }
+
+  /** BOILERPLATE detection by corpus-level shingle document frequency (the
+    * CCNet/C4 move at shingle granularity): a shingle occurring in ≥
+    * `minDocPermille`/1000 of all documents is boilerplate (nav bars,
+    * cookie banners, licence footers); each document reports how much of
+    * its shingle set is boilerplate so a curation filter can threshold on
+    * the fraction. The threshold is permille-INTEGER arithmetic —
+    * `ceil(n_docs·p/1000)` as `(n_docs·p + 999) div 1000` — because a
+    * double `n_docs * frac` rounds differently between engines exactly at
+    * the boundary counts the threshold exists to compare against.
+    *
+    * Scale shape: document frequency is ONE hash aggregation keyed on the
+    * shingle (map-side combinable — each doc contributes a shingle at most
+    * once, so partial counts collapse hard); the corpus size is a 1-row
+    * aggregate broadcast into the threshold; the flagged set joins back on
+    * the shingle key. Nothing is quadratic and nothing is collected: the
+    * doc-frequency table is itself distributed, and only the boolean
+    * comparison against the broadcast scalar prunes it.
+    */
+  def boilerplateStats(
+      docs: DataFrame,
+      minDocPermille: Int,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = withShingles(docs, idCol, textCol, n = n)
+      .select(col(idCol), explode(col("sh")).as("s"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // ceil(n_docs·p/1000) = (n_docs·p + 999) div 1000: the numerator is an
+    // exact integer ≪ 2^53, and a double quotient that IS an integer is
+    // exact while one that isn't sits ≥ 1/1000 from the floor boundary —
+    // so floor() is engine-independent here where a fractional threshold
+    // multiply would not be (see scaladoc)
+    val thresh = floor(
+      (col("n_docs") * lit(minDocPermille.toLong) + lit(999L)) / lit(1000.0)).cast("long")
+    val flagged = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs))
+      .filter(col("df") >= thresh)
+      .select(col("s"))
+    val perDoc = sh.join(flagged, Seq("s"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_boilerplate"))
+    sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+        (coalesce(col("n_boilerplate"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("boilerplate_frac"))
+  }
 }

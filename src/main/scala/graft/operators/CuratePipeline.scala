@@ -52,31 +52,47 @@ object CuratePipeline {
 
   /** Per-doc annotation columns: (lang_id, quality, rep prims). Kernel
     * forms by default; `kernels = false` swaps in the declarative twins
-    * (identical values — spec-pinned parity — just slower). */
+    * (identical values — spec-pinned parity — just slower).
+    *
+    * The kernel lang-ID is STAGED exactly like the q21 builder: the marker
+    * array materializes as an attribute, then the per-language scores, and
+    * only then the argmax CASE. Inlining the UDF Column into
+    * `langIdFromScores` instead duplicates the whole marker-count tree into
+    * every score reference of the CASE (~80 copies after the argmax fold) —
+    * measured to blow the generated projection past janino's 64 KB method
+    * limit, knocking the entire annotate+filter stage out of whole-stage
+    * codegen. Staged, each tier references the previous tier's ATTRIBUTE
+    * and CollapseProject keeps multi-referenced non-cheap aliases as real
+    * projection steps. */
   private def annotate(docs: DataFrame, kernels: Boolean): DataFrame = {
     val langs = TextAnalysis.langMarkers.map(_._1)
-    val lang =
+    val rep =
+      if (kernels) TextAnalysis.repetition_prims_udf(col("text"))
+      else TextAnalysis.repetitionPrims(col("text"))
+    val withLang =
       if (kernels) {
         val markers = TextAnalysis.langMarkers
           .flatMap { case (_, ws) => ws.map(w => s" $w ") }.toArray
         val nPerLang = TextAnalysis.langMarkers.head._2.size
-        val mc = TextAnalysis.markerCountsUdf(markers)(col("text"))
-        TextAnalysis.langIdFromScores(langs.zipWithIndex.map { case (l, i) =>
-          l -> (0 until nPerLang).map(j => element_at(mc, i * nPerLang + j + 1))
-            .reduce(_ + _)
-        })
-      } else TextAnalysis.langId(col("text"))
-    val quality =
-      if (kernels) TextAnalysis.qualityScoreFromPrims(
-        TextAnalysis.quality_prims_udf(col("text")))
-      else TextAnalysis.qualityScore(col("text"))
-    val rep =
-      if (kernels) TextAnalysis.repetition_prims_udf(col("text"))
-      else TextAnalysis.repetitionPrims(col("text"))
-    docs
-      .withColumn("lang_id", lang)
-      .withColumn("quality", quality)
-      .withColumn("rp", rep)
+        docs
+          .withColumn("__mk", TextAnalysis.markerCountsUdf(markers)(col("text")))
+          .select(col("*") +: langs.zipWithIndex.map { case (l, i) =>
+            (0 until nPerLang).map(j => element_at(col("__mk"), i * nPerLang + j + 1))
+              .reduce(_ + _).as(s"__s_$l")
+          }: _*)
+          .withColumn("lang_id",
+            TextAnalysis.langIdFromScores(langs.map(l => l -> col(s"__s_$l"))))
+          .drop("__mk" +: langs.map(l => s"__s_$l"): _*)
+      } else docs.withColumn("lang_id", TextAnalysis.langId(col("text")))
+    // quality: same staging discipline — the prims UDF/array materializes
+    // as an attribute, the score formula's ~10 references read it by name
+    val withQuality =
+      if (kernels) withLang
+        .withColumn("__qp", TextAnalysis.quality_prims_udf(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScoreFromPrims(col("__qp")))
+        .drop("__qp")
+      else withLang.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    withQuality.withColumn("rp", rep)
   }
 
   private def repFrac(countIdx: Int, denomIdx: Int): Column =

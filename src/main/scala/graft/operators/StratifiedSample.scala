@@ -162,4 +162,90 @@ object StratifiedSample {
     }
     df.withColumn("split", split)
   }
+
+  /**
+   * DOMAIN-MIX sampling under a per-stratum TOKEN budget (the Pile/Dolma
+   * mixing move): within each stratum (source domain), order rows by
+   * ascending (pri, key) — a deterministic hash priority, so the sample is
+   * a uniform reproducible subset — and keep the maximal prefix whose
+   * cumulative `weight` (token count) stays ≤ the stratum's budget. A row
+   * is kept iff its INCLUSIVE running weight sum ≤ budget; weights are
+   * non-negative, so this equals the maximal-prefix rule and is exactly
+   * `QUALIFY sum(w) OVER (PARTITION BY stratum ORDER BY pri, key) <= B`.
+   *
+   * Why not that window directly: a running sum over `partitionBy(stratum)`
+   * sorts EVERY row of a stratum through one task — the hot-stratum
+   * straggler again ([[stratifiedTopK]]'s opening argument), except worse,
+   * because a budget cut needs the whole prefix, not a k-bounded PQ. The
+   * scale shape here is HISTOGRAM QUOTA + EXACT BOUNDARY:
+   *
+   *   1. bucket each row by its priority PREFIX (`pri / width`, monotone in
+   *      pri) — one codegen'd projection;
+   *   2. ONE hash aggregation to (stratum, bucket) weight totals — a
+   *      |strata|·nBuckets-row frame, windowed per stratum in microseconds
+   *      to find each stratum's BOUNDARY bucket: the first whose cumulative
+   *      weight crosses the budget;
+   *   3. rows in buckets BELOW the boundary are kept outright (their
+   *      inclusive cumsum is ≤ the boundary's entering total ≤ B); rows
+   *      ABOVE are dropped outright; only the boundary bucket's ~1/nBuckets
+   *      slice of the stratum pays the exact running-sum window, entering
+   *      at the (broadcast) cumulative total of the full buckets.
+   *
+   * The result is BIT-IDENTICAL to the naive window for every nBuckets ≥ 1
+   * (bucket order is a coarsening of the row order; the boundary window
+   * re-establishes exact order inside the one ambiguous bucket) — asserted
+   * by PipelineSpec across bucket counts — while the big data only ever
+   * sees projections, one aggregation, and one broadcast-joined filter.
+   *
+   * `priBound`: exclusive upper bound of `pri` values (defaults to
+   * [[PriMod]], matching [[hashPri]]); buckets are `pri / ceil(priBound /
+   * nBuckets)`, clamped into range so an out-of-contract priority degrades
+   * to a bigger boundary bucket rather than a wrong sample.
+   */
+  def tokenBudgetSample(
+      df: DataFrame, stratum: Column, key: Column, weight: Column,
+      defaultBudget: Long, budgets: Map[String, Long] = Map.empty,
+      pri: Column = null, nBuckets: Int = 1024,
+      priBound: Long = PriMod): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val priC = if (pri == null) hashPri(key) else pri
+    val width = math.max(1L, (priBound + nBuckets - 1) / nBuckets)
+    val budgetCol =
+      if (budgets.isEmpty) lit(defaultBudget)
+      else coalesce(element_at(typedLit(budgets), col("stratum")), lit(defaultBudget))
+
+    val rows = df.select(stratum.cast("string").as("stratum"),
+        key.cast("long").as("key"), priC.cast("long").as("pri"),
+        weight.cast("long").as("w"))
+      .withColumn("bucket", least(col("pri") / lit(width), lit(nBuckets - 1L)).cast("long"))
+
+    // (stratum, bucket) histogram — |strata|·nBuckets rows, tiny by design
+    val hist = rows.groupBy(col("stratum"), col("bucket"))
+      .agg(sum(col("w")).as("bw"))
+    val wOrd = Window.partitionBy(col("stratum")).orderBy(col("bucket"))
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("bw")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // boundary = FIRST bucket whose cumulative total crosses the budget:
+    // exactly the bucket with cum_before ≤ B < cum_before + bw (an earlier
+    // crossing would have pushed cum_before past B already) — one filter,
+    // ≤ 1 row per stratum. A stratum that fits entirely has none
+    // (boundary = nBuckets ⇒ keep all).
+    val boundary = cum
+      .filter(col("cum_before") <= budgetCol && col("cum_before") + col("bw") > budgetCol)
+      .select(col("stratum"), col("bucket").as("b_star"), col("cum_before").as("entering"))
+
+    val tagged = rows.join(broadcast(boundary), Seq("stratum"), "left")
+      .withColumn("b_star", coalesce(col("b_star"), lit(nBuckets.toLong)))
+    val below = tagged.filter(col("bucket") < col("b_star"))
+    // the exact window runs ONLY over each stratum's single boundary bucket
+    val atBoundary = tagged.filter(col("bucket") === col("b_star"))
+      .withColumn("cum_in",
+        sum(col("w")).over(Window.partitionBy(col("stratum"))
+          .orderBy(col("pri"), col("key"))))
+      .filter(col("entering") + col("cum_in") <= budgetCol)
+      .drop("cum_in")
+    below.unionByName(atBoundary)
+      .select(col("stratum"), col("key"), col("pri"), col("w"))
+  }
 }

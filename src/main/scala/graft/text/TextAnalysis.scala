@@ -91,9 +91,14 @@ object TextAnalysis {
     * priority order for ties — "und" when no marker fires at all. */
   def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val total = scores.map(_._2).reduce(_ + _)
-    val best = scores.tail.foldLeft(when(lit(true), scores.head._2)) {
-      case (acc, (_, s)) => when(s > acc, s).otherwise(acc)
-    }
+    // flat greatest(), NOT a fold of nested CASEs: the max is the same, but
+    // the fold form re-embeds the whole depth-(n-1) CASE tree into every
+    // `s === best` arm of the argmax — one of the expression blowups that
+    // pushed q54's fused annotate stage past janino's 64 KB method limit
+    // and silently dropped it out of whole-stage codegen
+    val best =
+      if (scores.size == 1) scores.head._2
+      else greatest(scores.map(_._2): _*)
     scores.foldRight(lit("und"): Column) { case ((l, s), els) =>
       when(total > 0 && s === best, lit(l)).otherwise(els)
     }

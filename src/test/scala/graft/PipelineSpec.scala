@@ -660,4 +660,79 @@ class PipelineSpec extends AnyFunSuite {
     val c1 = byCluster(1L)
     assert(Set(1L, 2L, 5L).subsetOf(c1), s"exact dups split across clusters: $byCluster")
   }
+
+  // ---- corpus overlap: decontamination / boilerplate ------------------------
+
+  test("decontaminate: shingle overlap with the bench set flags exactly the leaking docs") {
+    val train = docs(
+      1L -> "a b c d e",   // shares shingle "b c d" with bench
+      2L -> "x y z w",     // no overlap
+      3L -> "p q r",       // no overlap
+      4L -> "b c")         // <3 words: whole text is the shingle; bench has it
+    val bench = docs(100L -> "b c d q q", 101L -> "b c")
+    val out = Dedup.decontaminate(train, bench)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, true)), s"doc 1 shares 'b c d': $out")
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+    assert(out(4L) == ((1L, true)), s"short-doc whole-text shingle must match: $out")
+    assert(out.size == 4, "every train doc reports, including zero-hit docs")
+  }
+
+  test("boilerplate: corpus-frequency shingles flagged at the permille threshold") {
+    // "the cookie banner" appears in 6 of 10 docs; unique tails do not repeat
+    val d = docs((1L to 10L).map { i =>
+      val base = if (i <= 6) "the cookie banner " else ""
+      i -> s"${base}unique$i tail$i words$i here$i"
+    }: _*)
+    // permille 500 of 10 docs → threshold ceil(5.0) = 5 → flagged
+    val out = Dedup.boilerplateStats(d, minDocPermille = 500)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1 text: "the cookie banner unique1 tail1 words1 here1" → 5 shingles,
+    // of which "the cookie banner" + "cookie banner unique1"? only the first
+    // 3-gram repeats across docs (tails are unique per doc)
+    (1L to 6L).foreach { i =>
+      assert(out(i)._3 == 1L, s"doc $i should have exactly 1 boilerplate shingle: ${out(i)}")
+      assert(out(i)._4 > 0.0 && out(i)._4 < 1.0)
+    }
+    (7L to 10L).foreach { i =>
+      assert(out(i)._3 == 0L && out(i)._4 == 0.0, s"clean doc $i flagged: ${out(i)}")
+    }
+    // raising the threshold above 6 docs unflags everything
+    val strict = Dedup.boilerplateStats(d, minDocPermille = 700)
+      .agg(sum($"n_boilerplate")).as[Long].head()
+    assert(strict == 0L)
+  }
+
+  // ---- token-budget domain mix ----------------------------------------------
+
+  test("token budget sample: histogram-quota ≡ naive window across bucket counts and partitionings") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.StratifiedSample
+    val rows = (1L to 300L).map { k =>
+      (Seq("a", "b", "c")(((k * 13) % 3).toInt), k, (k * 7) % 13 + 1)
+    }.toDF("src", "key", "w")
+    val budgets = Map("a" -> 120L, "b" -> 55L)
+    val naive = {
+      val p = rows.withColumn("pri", StratifiedSample.hashPri($"key"))
+      val cum = sum($"w").over(Window.partitionBy($"src").orderBy($"pri", $"key"))
+      val b = coalesce(element_at(typedLit(budgets), $"src"), lit(90L))
+      p.withColumn("cum", cum).filter($"cum" <= b)
+        .select($"src", $"key").as[(String, Long)].collect().toSet
+    }
+    assert(naive.nonEmpty && naive.size < 300, s"test data must actually cut: ${naive.size}")
+    for (nB <- Seq(1, 7, 64, 4096); parts <- Seq(1, 17)) {
+      val got = StratifiedSample.tokenBudgetSample(
+          rows.repartition(parts), $"src", $"key", $"w",
+          defaultBudget = 90L, budgets = budgets, nBuckets = nB)
+        .select($"stratum", $"key").as[(String, Long)].collect().toSet
+      assert(got == naive, s"nBuckets=$nB parts=$parts: ${got.diff(naive)} / ${naive.diff(got)}")
+    }
+    // budget is a hard ceiling per stratum
+    val kept = StratifiedSample.tokenBudgetSample(
+        rows, $"src", $"key", $"w", defaultBudget = 90L, budgets = budgets)
+      .groupBy($"stratum").agg(sum($"w").as("tot"))
+      .as[(String, Long)].collect().toMap
+    assert(kept("a") <= 120L && kept("b") <= 55L && kept("c") <= 90L, s"budget exceeded: $kept")
+  }
 }

@@ -688,9 +688,8 @@ class PipelineSpec extends AnyFunSuite {
     // permille 500 of 10 docs → threshold ceil(5.0) = 5 → flagged
     val out = Dedup.boilerplateStats(d, minDocPermille = 500)
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
-    // doc 1 text: "the cookie banner unique1 tail1 words1 here1" → 5 shingles,
-    // of which "the cookie banner" + "cookie banner unique1"? only the first
-    // 3-gram repeats across docs (tails are unique per doc)
+    // docs 1-6 carry 5 shingles each; only "the cookie banner" repeats
+    // across docs (every other 3-gram contains a per-doc unique token)
     (1L to 6L).foreach { i =>
       assert(out(i)._3 == 1L, s"doc $i should have exactly 1 boilerplate shingle: ${out(i)}")
       assert(out(i)._4 > 0.0 && out(i)._4 < 1.0)

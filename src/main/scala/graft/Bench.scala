@@ -102,6 +102,17 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // InferFiltersFromGenerate inserts `size(e)>0 && isnotnull(e)` below
+      // every explode; predicate pushdown then substitutes the generator's
+      // WHOLE defining tree into that filter, past any staged projection.
+      // For the shingle operators (q26/q55/q56) the substituted tree
+      // re-runs normalize+split inside every element_at lambda — no CSE
+      // across lambda iterations — measured at 20x the query's real work
+      // (q55: 21s -> ~1s at sf0.1). Our generators never feed a shuffle
+      // that the inferred filter could shrink (explode output goes straight
+      // to a hash agg or join), so the rule is pure overhead here.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     sys.env.get("GRAFT_AQE").foreach(v => b.config("spark.sql.adaptive.enabled", v))
     sys.env.get("GRAFT_EVENTLOG").foreach { dir =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))

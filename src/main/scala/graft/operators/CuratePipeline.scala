@@ -102,22 +102,43 @@ object CuratePipeline {
   /** Runs the full pipeline over `docs(doc_id, text, ...)`. Returns one row
     * per SURVIVING document: (doc_id, lang_id, quality, split).
     *
+    * `bench`: optional eval/benchmark corpus — when present, a
+    * DECONTAMINATION stage ([[Dedup.decontaminate]], the q55 operator)
+    * drops every doc sharing a word-n-gram shingle with any bench doc. It
+    * runs right after the threshold filter (the row-local gates shrink its
+    * shingle build for free) and before dedup/split, so a leaking doc can
+    * neither become a dedup representative nor reach a split. Off by
+    * default — q54's end-to-end oracle covers the bench-less composition.
+    *
     * Cache contract: rides [[DupClusters.dedupByPairs]]' pinned loser set
     * (small — one row per clustered doc); release via the session cache
     * when done, as the bench harness does. */
-  def curate(docs: DataFrame, cfg: CurateConfig = CurateConfig()): DataFrame = {
+  def curate(
+      docs: DataFrame, cfg: CurateConfig = CurateConfig(),
+      bench: Option[DataFrame] = None): DataFrame = {
     // transient pin: the annotated+filtered frame has TWO consumers (the
     // dedup aggregate and the semi-join's probe side) — unpinned, the three
     // annotation kernels would run over the full corpus twice, the most
     // expensive recompute in the pipeline. Released once the smaller
     // post-dedup frame is forced.
-    val filtered = annotate(docs, cfg.kernels)
+    val gated = annotate(docs, cfg.kernels)
       .filter(
         (lit(!cfg.dropUnknownLang) || col("lang_id") =!= "und") &&
         col("quality") >= cfg.minQuality &&
         repFrac(2, 1) <= cfg.maxTopUnigramFrac &&
         repFrac(5, 3) <= cfg.maxDupBigramFrac)
-      .persist()
+    // with a bench set, the gated frame gets a transient pin of its own:
+    // the q55 operator reads its train side twice and the anti-join reads
+    // it again — unpinned, each read re-runs the annotate kernels
+    val gatedPin = bench.map(_ => gated.persist())
+    val filtered = bench.fold(gated) { b =>
+      // anti-join against the contaminated id set: ≤|gated| rows, built
+      // from one explode + the broadcast bench-shingle join (q55's shape)
+      val g = gatedPin.get
+      val dirty = Dedup.decontaminate(g, b)
+        .filter(col("contaminated")).select(col("doc_id"))
+      g.join(dirty, Seq("doc_id"), "left_anti")
+    }.persist()
 
     // exact dedup: ONE aggregate keyed by the content fingerprint (map-side
     // partial min collapses per-partition duplicate groups pre-shuffle),
@@ -134,6 +155,7 @@ object CuratePipeline {
     val exact = filtered.join(keepIds, Seq("doc_id"), "left_semi").persist()
     exact.count()
     filtered.unpersist()
+    gatedPin.foreach(_.unpersist())
 
     val pairs = Dedup.minhashNearDupPairs(
       exact, cfg.minhashK, cfg.minhashBands, cfg.minJaccard, kernel = cfg.kernels)

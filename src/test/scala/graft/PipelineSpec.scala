@@ -592,6 +592,15 @@ class PipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(out.sortBy(_._1).toSeq == decl.sortBy(_._1).toSeq,
       "kernel and declarative pipelines diverged")
+
+    // opt-in decontamination: a bench set sharing a shingle with doc 3
+    // (and only doc 3 — its unique word tail) removes exactly that doc
+    val bench = docs(900L -> "word3a word3b word3c")
+    val dec = CuratePipeline.curate(corpus, cfg, bench = Some(bench))
+      .select("doc_id").as[Long].collect().toSet
+    spark.catalog.clearCache()
+    assert(!dec.contains(3L), s"leaking doc 3 must be decontaminated: $dec")
+    assert(dec == ids - 3L, s"only doc 3 may be dropped: ${ids.diff(dec)}")
   }
 
   // ---- dup-cluster resolution (connected components) -----------------------

@@ -13,6 +13,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // match the main session builders (see Bench.session): tests must
+      // exercise the same optimizer configuration the harness runs
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

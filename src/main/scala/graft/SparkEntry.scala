@@ -816,6 +816,44 @@ object SparkEntry {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    "q58_pii" -> ((s, d) => {
+      // PII detection + redaction (the C4/Dolma scrub): the synthetic
+      // corpus text is digit-free, so deterministic PII is injected per
+      // doc_id — an email always, an IPv4 on every 3rd doc, a phone on
+      // every 5th — making the counts non-trivial and the redacted text
+      // md5-comparable. Row-local codegen'd regexp projection, no shuffle;
+      // patterns restricted to the Java-regex ∩ RE2 subset so the oracle
+      // compiles the identical automaton (TextAnalysis scaladoc).
+      val pt = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" ip 10."), (col("doc_id") % 250).cast("string"),
+            lit(".0."), (col("doc_id") % 200).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" tel 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"), pt.as("pt"))
+        .select(col("doc_id") +: TextAnalysis.piiCounts(col("pt")) :+
+          md5(TextAnalysis.redactPii(col("pt"))).as("redacted_md5"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q59_segment_dedup" -> ((s, d) => {
+      // corpus-level exact SEGMENT dedup, first-occurrence-wins (CCNet's
+      // paragraph-dedup move — removes the duplicated pieces document-level
+      // dedup never sees). docsWithDups guarantees every +1e6 copy's
+      // segments all collide with the original's, so the copies keep ~0 and
+      // originals keep everything not already shared between base docs.
+      Dedup.segmentDedup(docsWithDups(s, d), segWords = 8)
+        .select(col("doc_id"), col("n_segments"), col("n_kept"),
+          col("kept_frac"), md5(col("deduped_text")).as("dedup_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1639,5 +1677,42 @@ object SparkEntry {
          |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id) AS cum FROM p)
          |SELECT source, doc_id, pri, CAST(n_tokens AS BIGINT) AS n_tokens FROM c
          |WHERE cum <= CASE source WHEN 'src0' THEN 600 WHEN 'src1' THEN 900 ELSE 700 END
-         |ORDER BY source, doc_id""".stripMargin)
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "q58_pii" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' ip 10.' || CAST(doc_id % 250 AS VARCHAR)
+         |         || '.0.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' tel 555-867-'
+         |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS pt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pt, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(pt, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(pt, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(pt,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q59_segment_dedup" ->
+      s"""WITH d2 AS ($sqlD2),
+         |tk AS (SELECT doc_id, string_split(${sqlNorm("text")}, ' ') AS t FROM d2),
+         |sg AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+         |         array_to_string(t[(i*8+1):(i*8+8)], ' ') AS seg
+         |       FROM (SELECT doc_id, t,
+         |               unnest(range(0, greatest(CAST(ceil(len(t)/8.0) AS BIGINT), 1))) AS i
+         |             FROM tk)),
+         |k AS (SELECT seg, min(doc_id*1000000 + seg_idx) AS kk FROM sg GROUP BY seg),
+         |m AS (SELECT sg.doc_id, sg.seg_idx, sg.seg,
+         |        (sg.doc_id*1000000 + sg.seg_idx) = k.kk AS kept
+         |      FROM sg JOIN k USING (seg))
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+         |  CAST(count(*) FILTER (WHERE kept) AS DOUBLE) / count(*) AS kept_frac,
+         |  md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '')) AS dedup_md5
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

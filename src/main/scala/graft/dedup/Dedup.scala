@@ -622,4 +622,62 @@ object Dedup {
         (coalesce(col("n_boilerplate"), lit(0L)).cast("double") /
           col("n_shingles").cast("double")).as("boilerplate_frac"))
   }
+
+  /** Corpus-level exact SEGMENT dedup with deterministic first-occurrence-
+    * wins (the CCNet paragraph-dedup move): the near-dup operators compare
+    * whole documents; this removes duplicated PIECES — nav bars, licence
+    * footers, syndicated paragraphs — that survive document-level dedup
+    * because their host pages differ. A segment is a non-overlapping run
+    * of `segWords` normalized tokens (the deterministic stand-in for a
+    * paragraph boundary in a corpus whose text carries no line structure;
+    * a real corpus routes its paragraph splitter through the same shape).
+    * An instance is kept iff its (doc, position) is the global minimum by
+    * (`idCol`, seg_idx) over all instances of byte-identical segment text
+    * — a total order, where `dropDuplicates` would keep an arbitrary
+    * instance and break cross-run determinism. Intra-document repeats
+    * dedupe under the same rule (only the earliest survives).
+    *
+    * Output per doc: `n_segments`, `n_kept`, `kept_frac`, and
+    * `deduped_text` (the kept segments re-joined in document order).
+    *
+    * Scale shape: one posexplode, ONE hash aggregation keyed on the
+    * segment producing the min (doc, idx) struct (map-side combinable —
+    * partial mins merge), an equi-join back on the segment key, and a
+    * per-doc reassembly aggregate whose collect_list is bounded by the
+    * document's own segment count. Nothing quadratic, nothing collected
+    * to the driver. The join-back key inherits the corpus's boilerplate
+    * skew (a segment in 5% of docs is a hot key) — AQE skew-join handles
+    * it, same answer as the fetch join's hot hosts (SURVEY §4.1). */
+  def segmentDedup(
+      docs: DataFrame, segWords: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(segWords >= 1, s"segWords must be >= 1, got $segWords")
+    val toks = split(TextAnalysis.normText(col(textCol)), " ")
+    val nSeg = greatest(
+      ceil(size(toks).cast("double") / segWords).cast("int"), lit(1))
+    val segs = transform(sequence(lit(0), nSeg - 1),
+      i => concat_ws(" ", slice(toks, i * segWords + 1, lit(segWords))))
+    val exploded = docs.select(col(idCol), posexplode(segs).as(Seq("seg_idx", "seg")))
+    val keeper = exploded.groupBy(col("seg"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("k"))
+      .select(col("seg"), col("k").getField(idCol).as("k_doc"),
+        col("k").getField("seg_idx").as("k_idx"))
+    exploded.join(keeper, Seq("seg"))
+      .withColumn("kept",
+        col(idCol) === col("k_doc") && col("seg_idx") === col("k_idx"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls the non-kept branch produces; the
+        // struct sort is by seg_idx (unique per doc) = document order
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg"))).as("deduped_text"))
+      .select(col(idCol), col("n_segments"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_segments").cast("double"))
+          .as("kept_frac"),
+        col("deduped_text"))
+  }
 }

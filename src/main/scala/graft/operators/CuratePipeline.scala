@@ -12,6 +12,12 @@ import graft.text.TextAnalysis
   * int-derived-IEEE-division float rule), so threshold semantics are exact
   * — no epsilon, no boundary flapping between engines. */
 final case class CurateConfig(
+    /** Scrub PII (email/IPv4/phone → typed sentinels, the q58 operator)
+      * BEFORE annotation and dedup — the production ordering: two pages
+      * identical up to their PII must collide in the exact-dedup
+      * fingerprint, which they only do post-redaction. Off by default (the
+      * q54 oracle covers the scrub-less composition). */
+    redactPii: Boolean = false,
     dropUnknownLang: Boolean = true,
     minQuality: Double = 0.5,
     maxTopUnigramFrac: Double = 0.5,
@@ -116,12 +122,18 @@ object CuratePipeline {
   def curate(
       docs: DataFrame, cfg: CurateConfig = CurateConfig(),
       bench: Option[DataFrame] = None): DataFrame = {
+    // PII scrub first (row-local, fuses into the annotate projection): all
+    // downstream signals — fingerprints, shingles, quality — see the
+    // sentinel tokens, never the memorizable strings
+    val input =
+      if (cfg.redactPii) docs.withColumn("text", TextAnalysis.redactPii(col("text")))
+      else docs
     // transient pin: the annotated+filtered frame has TWO consumers (the
     // dedup aggregate and the semi-join's probe side) — unpinned, the three
     // annotation kernels would run over the full corpus twice, the most
     // expensive recompute in the pipeline. Released once the smaller
     // post-dedup frame is forced.
-    val gated = annotate(docs, cfg.kernels)
+    val gated = annotate(input, cfg.kernels)
       .filter(
         (lit(!cfg.dropUnknownLang) || col("lang_id") =!= "und") &&
         col("quality") >= cfg.minQuality &&

@@ -270,6 +270,42 @@ object TextAnalysis {
   val bpeTokenCountUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf(bpeTokenCountKernel _)
 
+  // --- PII detection / redaction -------------------------------------------
+
+  /** PII patterns, deliberately restricted to the regex subset that Java's
+    * `java.util.regex` and RE2 (DuckDB) compile to the SAME automaton —
+    * character classes, bounded repetition, non-capturing groups, ASCII
+    * `\b`/`\d` — so the DuckDB oracle evaluates the identical match set.
+    * These are the C4/Dolma-style scrub targets: email addresses, dotted
+    * IPv4 literals, and NANP-shaped `ddd-ddd-dddd` phone numbers. Redaction
+    * order is fixed email → ip → phone; the email pattern can consume
+    * digits and dots that the narrower patterns would otherwise see, so
+    * running it first makes the composition order-insensitive for the
+    * remaining two (they are mutually disjoint: one requires dots between
+    * digit groups, the other dashes). */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Per-row PII match counts `(n_emails, n_ipv4, n_phones)` — codegen'd
+    * `RegExpCount`, a pure projection: no shuffle, no UDF, the compiled
+    * pattern is reused across the partition by Catalyst's regexp cache.
+    * At 100 TB this runs beside lang-ID/quality in the same annotate scan. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).cast("long").as("n_emails"),
+    regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ipv4"),
+    regexp_count(text, lit(PhoneRe)).cast("long").as("n_phones"))
+
+  /** PII scrub: replace every match with a typed sentinel token (the
+    * downstream tokenizer sees ONE vocabulary item per PII class instead of
+    * memorizable strings). Same pattern set and order as [[piiCounts]]. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
   // --- fingerprinting -------------------------------------------------------
 
   /** Content fingerprint: md5 of the normalized text — the exact-dedup key. */

@@ -601,6 +601,28 @@ class PipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(!dec.contains(3L), s"leaking doc 3 must be decontaminated: $dec")
     assert(dec == ids - 3L, s"only doc 3 may be dropped: ${ids.diff(dec)}")
+
+    // opt-in PII scrub runs BEFORE the quality gate: a digit-heavy PII doc
+    // fails the gate raw (digit penalty) but passes once the phones become
+    // sentinel tokens. Self-calibrating: the threshold is set between the
+    // measured raw and redacted scores, so the assertion tracks the quality
+    // formula instead of hardcoding its constants.
+    val piiText = good(3)._2 +
+      " 555-111-2222 555-333-4444 555-555-6666 555-777-8888 555-999-0000"
+    val Seq(qRaw, qRed) = docs(1L -> piiText)
+      .select(TextAnalysis.qualityScore($"text"),
+        TextAnalysis.qualityScore(TextAnalysis.redactPii($"text")))
+      .as[(Double, Double)].head() match { case (a, b) => Seq(a, b) }
+    assert(qRed > qRaw, s"redaction must raise the digit-penalized score: $qRaw vs $qRed")
+    val c2 = cfg.copy(minQuality = (qRaw + qRed) / 2)
+    val noScrub = CuratePipeline.curate(docs(5L -> piiText), c2)
+      .select("doc_id").as[Long].collect().toSet
+    spark.catalog.clearCache()
+    assert(noScrub.isEmpty, s"raw PII doc must fail the quality gate: $noScrub")
+    val scrub = CuratePipeline.curate(docs(5L -> piiText), c2.copy(redactPii = true))
+      .select("doc_id").as[Long].collect().toSet
+    spark.catalog.clearCache()
+    assert(scrub == Set(5L), s"scrubbed doc must pass the gate: $scrub")
   }
 
   // ---- dup-cluster resolution (connected components) -----------------------
@@ -710,6 +732,43 @@ class PipelineSpec extends AnyFunSuite {
     val strict = Dedup.boilerplateStats(d, minDocPermille = 700)
       .agg(sum($"n_boilerplate")).as[Long].head()
     assert(strict == 0L)
+  }
+
+  // ---- PII scrub --------------------------------------------------------------
+
+  test("pii: counts and typed-sentinel redaction on handcrafted PII text") {
+    val d = docs(
+      1L -> "write to jane.doe+x@example.org or 10.0.0.1 call 555-123-4567",
+      2L -> "no pii here just words",
+      3L -> "mails a@b.io c_d%e@f-g.co and 999-999-9999 and 1.2.3.4 5.6.7.8")
+    val out = d.select($"doc_id" +: TextAnalysis.piiCounts($"text") :+
+        TextAnalysis.redactPii($"text").as("red"): _*)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1L,
+      "write to <EMAIL> or <IP> call <PHONE>")), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((2L, 0L, 0L, 0L, "no pii here just words")))
+    assert(out(3L) == ((3L, 2L, 2L, 1L,
+      "mails <EMAIL> <EMAIL> and <PHONE> and <IP> <IP>")), s"doc 3: ${out(3L)}")
+  }
+
+  // ---- segment-level exact dedup ----------------------------------------------
+
+  test("segment dedup: first-occurrence wins, intra-doc repeats collapse, order kept") {
+    val d = docs(
+      1L -> "a b c d e f",  // segWords=2 → "a b" | "c d" | "e f"
+      2L -> "c d x y",      // "c d" already owned by doc 1 → keeps "x y"
+      3L -> "z z z z",      // intra-doc repeat: only the first instance survives
+      4L -> "a b c d e f")  // full copy of doc 1 → keeps nothing
+    val run = Dedup.segmentDedup(d, segWords = 2)
+      .as[(Long, Long, Long, Double, String)].collect().map(r => r._1 -> r).toMap
+    assert(run(1L) == ((1L, 3L, 3L, 1.0, "a b c d e f")), s"doc 1: ${run(1L)}")
+    assert(run(2L) == ((2L, 2L, 1L, 0.5, "x y")), s"doc 2: ${run(2L)}")
+    assert(run(3L) == ((3L, 2L, 1L, 0.5, "z z")), s"doc 3: ${run(3L)}")
+    assert(run(4L) == ((4L, 3L, 0L, 0.0, "")), s"full copy must keep nothing: ${run(4L)}")
+    // determinism: the arbitration is a total order, not partition luck
+    val re = Dedup.segmentDedup(d.repartition(7), segWords = 2)
+      .as[(Long, Long, Long, Double, String)].collect().map(r => r._1 -> r).toMap
+    assert(re == run, "segment dedup must be partitioning-invariant")
   }
 
   // ---- token-budget domain mix ----------------------------------------------

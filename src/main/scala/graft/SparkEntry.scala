@@ -854,6 +854,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q60_anchor_text" -> ((s, d) => {
+      // anchor-text aggregation per link TARGET — the web-graph description
+      // signal (search ranking / link-derived doc titles). Fixture HTML is
+      // built inline from documents columns (q49's sitemap move) so the
+      // REAL tag-soup parser runs — entity decode, nested-tag strip,
+      // relative-href resolution all on the hot path — while the oracle
+      // restates the expected parse output with plain string arithmetic.
+      // Each page emits one unique absolute target and one shared relative
+      // target (35 hot keys), so the aggregate sees both tails.
+      val base = concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/page/"), col("doc_id").cast("string"))
+      val html = concat(
+        lit("<html><body><p>intro</p><a href=\"http://h"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p"), col("doc_id").cast("string"),
+        lit("\">go &amp; see "), (col("doc_id") % 13).cast("string"),
+        lit("</a> mid <a href='/rel"), (col("doc_id") % 5).cast("string"),
+        lit("'>rel <b>link</b> "), (col("doc_id") % 3).cast("string"),
+        lit("</a></body></html>"))
+      t(s, d, "documents")
+        .select(explode(
+          CrawlUdfs.extract_anchors(encode(html, "UTF-8"), base)).as("a"))
+        .select(col("a._1").as("href"), col("a._2").as("anchor"))
+        .groupBy(col("href"))
+        .agg(count(lit(1)).as("n_refs"),
+          countDistinct(col("anchor")).as("n_anchors"),
+          min(col("anchor")).as("first_anchor"))
+        .orderBy(col("href"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1714,5 +1744,19 @@ object SparkEntry {
          |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
          |  CAST(count(*) FILTER (WHERE kept) AS DOUBLE) / count(*) AS kept_frac,
          |  md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE kept), '')) AS dedup_md5
-         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q60_anchor_text" ->
+      """WITH l AS (
+        |  SELECT 'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p'
+        |      || CAST(doc_id AS VARCHAR) AS href,
+        |    'go & see ' || CAST(doc_id % 13 AS VARCHAR) AS anchor FROM documents
+        |  UNION ALL
+        |  SELECT 'http://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/rel'
+        |      || CAST(doc_id % 5 AS VARCHAR),
+        |    'rel link ' || CAST(doc_id % 3 AS VARCHAR) FROM documents)
+        |SELECT href, CAST(count(*) AS BIGINT) AS n_refs,
+        |  CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors,
+        |  min(anchor) AS first_anchor
+        |FROM l GROUP BY href ORDER BY href""".stripMargin)
 }

@@ -28,6 +28,11 @@ object CrawlUdfs {
   /** html bytes → visible text per the frozen FIXTURES.md §F3 spec (op 12). */
   val extractTextUdf = udf((html: Array[Byte]) => Html.extractText(html))
 
+  /** (html bytes, base url) → array of (href, anchor_text) structs — the
+    * web-graph description signal (Html.extractAnchors). */
+  val extractAnchorsUdf = udf((html: Array[Byte], base: String) =>
+    Html.extractAnchors(html, base))
+
   /** Fused ops 11+12 for the crawl parse path: ONE UTF-8 decode of the page
     * bytes feeds both extractions (the separate UDFs decode ~20 KB twice per
     * page — measured parse bandwidth). Same frozen semantics, same nulls:
@@ -79,6 +84,7 @@ object CrawlUdfs {
 
   def extract_links(html: Column, base: Column): Column = extractLinksUdf(html, base)
   def extract_text(html: Column): Column = extractTextUdf(html)
+  def extract_anchors(html: Column, base: Column): Column = extractAnchorsUdf(html, base)
   def parse_page(html: Column, base: Column): Column = parsePageUdf(html, base)
   def robots_parse(body: Column): Column = robotsParseUdf(body)
   def robots_allows(rules: Column, ua: Column, path: Column): Column =
@@ -101,6 +107,7 @@ object CrawlUdfs {
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("extract_links", extractLinksUdf)
     spark.udf.register("extract_text", extractTextUdf)
+    spark.udf.register("extract_anchors", extractAnchorsUdf)
     spark.udf.register("robots_parse", robotsParseUdf)
     spark.udf.register("robots_allows", robotsAllowsUdf)
     spark.udf.register("robots_crawl_delay_ms", robotsCrawlDelayUdf)

@@ -241,6 +241,66 @@ object Html {
     out.toArray
   }
 
+  /** Index of the next `</a` close tag (case-insensitive, not followed by
+    * a letter/digit — accepts `</a>`, `</a >`, `</A>`) at or after `from`;
+    * −1 if none. */
+  private def indexOfCloseA(s: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val n = s.length
+    while (i + 2 < n) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '/' &&
+          (s.charAt(i + 2) == 'a' || s.charAt(i + 2) == 'A') &&
+          (i + 3 >= n || !Character.isLetterOrDigit(s.charAt(i + 3))))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** `(href, anchor_text)` pairs of anchor tags, in document order — the
+    * web-graph side of link extraction: anchor text is the classic
+    * target-page description signal (search ranking, link-based doc
+    * titles), where [[extractLinksStr]] stays the crawl loop's cheaper
+    * href-only form. href is resolved exactly like extractLinksStr; the
+    * anchor text is the §F3 rendering of the tag's inner HTML (nested tags
+    * stripped, entities decoded, whitespace collapsed) up to the next
+    * `</a` close — an unterminated anchor renders to end-of-document, the
+    * way a tag-soup browser paints it; a malformed open tag (no `>`)
+    * yields an empty anchor. */
+  def extractAnchorsStr(html: String, baseUrl: String): Array[(String, String)] = {
+    if (html == null) return Array.empty
+    val m = Href.matcher(html)
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (m.find()) {
+      val raw =
+        if (m.group(2) != null) m.group(2)
+        else if (m.group(3) != null) m.group(3)
+        else m.group(4)
+      val href = decodeEntities(raw).trim
+      val abs = UrlCanon.resolve(baseUrl, href)
+      if (abs != null) {
+        val tagEnd = html.indexOf('>', m.end())
+        val anchor =
+          if (tagEnd < 0) ""
+          else {
+            val close = indexOfCloseA(html, tagEnd + 1)
+            val inner =
+              if (close < 0) html.substring(tagEnd + 1)
+              else html.substring(tagEnd + 1, close)
+            extractTextStr(inner)
+          }
+        out += ((abs, anchor))
+      }
+    }
+    out.toArray
+  }
+
+  /** UTF-8 byte form of [[extractAnchorsStr]]. */
+  def extractAnchors(html: Array[Byte], baseUrl: String): Array[(String, String)] = {
+    if (html == null) return Array.empty
+    extractAnchorsStr(new String(html, StandardCharsets.UTF_8), baseUrl)
+  }
+
   /** Text + links in ONE pass over ONE decoded string — the crawl parse
     * path's entry point: the round-2 shape decoded the html bytes twice
     * (separate text/links UDFs) and re-scanned; at ~20 KB a page the double

@@ -40,6 +40,25 @@ class HtmlRobotsSpec extends AnyFunSuite {
       "http://ex.com/dir/page?q=1&r=2"))
   }
 
+  test("anchor extraction: inner-HTML rendering, close-tag tolerance, unterminated tail") {
+    val html =
+      """<a href="/abs">go <b>deep</b> &amp; far</a>
+        |<a href='rel/x'>  spaced   text </a>
+        |<A HREF="http://other.com/y">UPPER</A >
+        |<a href="/selfclose">empty<!-- note --></a>
+        |<a href="/tail">unterminated rest of <i>doc</i>""".stripMargin
+    val out = Html.extractAnchorsStr(html, "http://ex.com/dir/page")
+    assert(out.toSeq == Seq(
+      ("http://ex.com/abs", "go deep & far"),          // nested tag + entity
+      ("http://ex.com/dir/rel/x", "spaced text"),       // ws collapse + trim
+      ("http://other.com/y", "UPPER"),                  // case-insensitive close
+      ("http://ex.com/selfclose", "empty"),             // comment stripped
+      ("http://ex.com/tail", "unterminated rest of doc") // renders to EOF
+    ), out.toSeq.toString)
+    // href set must agree with the link extractor on the same document
+    assert(out.map(_._1).toSeq == Html.extractLinksStr(html, "http://ex.com/dir/page").toSeq)
+  }
+
   // The LITERAL §F3 pipeline — four sequential regex/string passes — kept
   // here as the normative reference the optimized two-pass scanner in
   // Html.scala must equal byte-for-byte. If these ever diverge, the SCANNER

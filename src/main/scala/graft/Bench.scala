@@ -515,6 +515,11 @@ object DedupScalingBench {
     val opFilter = sys.env.get("SPARK_GRAFT_DEDUP_OPS").map(_.split(",").map(_.trim).toSet)
     val allOps: Seq[(String, org.apache.spark.sql.SparkSession => DataFrame)] = Seq(
       "exact_dedup" -> (s => Dedup.exactDedup(docs(s))),
+      // segment-level first-wins dedup (q59): explode → min-struct agg →
+      // join-back → per-doc reassembly. Linear output (each instance joins
+      // exactly one keeper row); the ×mult corpus makes every copy's
+      // segments collide, the operator's worst honest case
+      "segment_dedup" -> (s => Dedup.segmentDedup(docs(s), segWords = 8)),
       "minhash_lsh" -> (s => Dedup.minhashNearDupPairs(docs(s), k = 32, bands = 8,
         minJ = 0.5, hasher = DedupHasher.production, kernel = true)),
       "simhash_pigeonhole" -> (s => Dedup.simhashNearDupPairs(docs(s), maxDist = 3,

@@ -884,6 +884,55 @@ object SparkEntry {
         .orderBy(col("href"))
     }),
 
+    "q61_kmeans" -> ((s, d) => {
+      // distributed Lloyd's k-means — the IVF coarse-quantizer TRAINER
+      // (q39/q44 consumed fixture centroids; this is where they come from
+      // at ingest). 3 iterations from the k-lowest-id init; nearest-cell is
+      // a row-local least() over centroid literals feeding one
+      // map-side-combinable vector-sum aggregate per iteration (k×(dim+1)
+      // longs through the exchange, MLlib's broadcast-state loop shape).
+      // All-integer arithmetic ⇒ the oracle replays the identical
+      // iterations as unrolled CTEs, bit-exact.
+      Similarity.kmeansFit(t(s, d, "embeddings"), k = 8, iters = 3)._2
+        .orderBy(col("vec_id"))
+    }),
+
+    "q62_semdedup" -> ((s, d) => {
+      // SemDeDup (arXiv:2303.09540): the k-means cells bound the near-dup
+      // quadratic (cluster-local pair scan, never corpus-wide); drop any
+      // vector with cosine ≥ τ to a lower-id same-cell sibling.
+      Similarity.semDedup(t(s, d, "embeddings"), k = 8, iters = 3, threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
+    "q63_blocklist" -> ((s, d) => {
+      // subdomain-aware domain-blocklist matching (the UT1/C4-style URL
+      // gate): hosts synthesized from orders — every 3rd key an apex, the
+      // rest subdomains — so 'd3.com' must catch s*.d3.com while near-miss
+      // apexes stay clean, and the mixed-case entry exercises folding.
+      // Matching is a host_rev PREFIX test against the broadcast list: one
+      // corpus scan, no shuffle of the big side.
+      import s.implicits._
+      val hosts = t(s, d, "orders").select(
+        when(col("o_orderkey") % 3 === 0,
+          concat(lit("d"), (col("o_custkey") % 25).cast("string"), lit(".com")))
+          .otherwise(concat(lit("s"), (col("o_orderkey") % 4).cast("string"),
+            lit(".d"), (col("o_custkey") % 25).cast("string"), lit(".com"))).as("host"))
+      val block = Seq("d3.com", "d7.com", "s1.d11.com", "D19.COM").toDF("domain")
+      graft.urls.Blocklist.matchBlocked(hosts, col("host"), block)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_hits"), countDistinct(col("host")).as("n_hosts"))
+        .orderBy(col("domain"))
+    }),
+
+    "q64_ngram_stats" -> ((s, d) => {
+      // corpus-wide bigram frequency top-k (vocabulary statistics): gram
+      // generation row-local, ONE partial-aggregated count, TakeOrdered on
+      // top — never a global sort of the gram table.
+      TextAnalysis.ngramCounts(t(s, d, "documents"), col("text"), n = 2)
+        .orderBy(col("cnt").desc, col("gram")).limit(20)
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -972,6 +1021,44 @@ object SparkEntry {
     "SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, text FROM documents"
   /** Rademacher sign lists for the q31 LSH mirror — same derivation as
     * Similarity.rhpSigns, inlined as SQL list literals. */
+  /** Unrolled Lloyd's-k-means CTE chain mirroring Similarity.kmeansFit
+    * bit-for-bit: init c0 = the k lowest-vec_id quantized vectors;
+    * iteration t = assignment a{t} (argmin of exact BIGINT squared-L2,
+    * ties to the lowest cell) then per-dim floored-integer-mean update
+    * c{t+1} (empty cells keep their centroid via the LEFT JOIN coalesce);
+    * `af` = the final assignment under c{iters}. Floor division is spelled
+    * `(s - ((s % n + n) % n)) / n` — the subtraction makes the numerator
+    * exactly divisible, so the quotient is exact in any division
+    * semantics (Math.floorDiv on the Spark side). */
+  private def sqlKmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    def dist(qv: String, cv: String) =
+      s"list_sum(list_transform(range(1, $dim+1), i -> ($qv[i]-$cv[i])*($qv[i]-$cv[i])))"
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, qv, cell, dist FROM (
+         |  SELECT vec_id, qv, cell, dist,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |  FROM (SELECT e.vec_id, e.qv, c.cell, ${dist("e.qv", "c.cv")} AS dist
+         |        FROM e CROSS JOIN $cents c)) WHERE rn = 1)""".stripMargin
+    val sb = new StringBuilder
+    sb ++= s"e AS (SELECT vec_id, ${sqlQv("embedding")} AS qv FROM embeddings),\n"
+    sb ++= s"dims AS (SELECT unnest(range(1, $dim+1)) AS i),\n"
+    sb ++= s"c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, qv AS cv\n" +
+      s"       FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT $k)),\n"
+    for (t <- 0 until iters) {
+      sb ++= assign(s"a$t", s"c$t") + ",\n"
+      sb ++= s"s$t AS (SELECT cell, i, sum(qv[i]) AS s, count(*) AS n FROM a$t CROSS JOIN dims GROUP BY cell, i),\n"
+      sb ++= s"""c${t + 1} AS (SELECT cell, list(v ORDER BY i) AS cv FROM (
+                |  SELECT p.cell, d.i,
+                |         CASE WHEN s.n IS NULL THEN p.cv[d.i]
+                |              ELSE CAST((s.s - ((s.s % s.n + s.n) % s.n)) / s.n AS BIGINT) END AS v
+                |  FROM c$t p CROSS JOIN dims d
+                |  LEFT JOIN s$t s ON s.cell = p.cell AND s.i = d.i) GROUP BY cell),
+                |""".stripMargin
+    }
+    sb ++= assign("af", s"c$iters")
+    sb.toString
+  }
+
   private def sqlSigns(nBits: Int, dim: Int): String =
     Similarity.rhpSigns(nBits, dim).zipWithIndex.map { case (row, j) =>
       row.mkString("[", ",", s"]::BIGINT[] AS s$j")
@@ -1758,5 +1845,40 @@ object SparkEntry {
         |SELECT href, CAST(count(*) AS BIGINT) AS n_refs,
         |  CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors,
         |  min(anchor) AS first_anchor
-        |FROM l GROUP BY href ORDER BY href""".stripMargin)
+        |FROM l GROUP BY href ORDER BY href""".stripMargin,
+
+    "q61_kmeans" ->
+      s"""WITH ${sqlKmeansCtes(k = 8, iters = 3, dim = 64)}
+         |SELECT vec_id, cell, dist FROM af ORDER BY vec_id""".stripMargin,
+
+    "q62_semdedup" ->
+      s"""WITH ${sqlKmeansCtes(k = 8, iters = 3, dim = 64)},
+         |pr AS (SELECT DISTINCT b.vec_id AS vid
+         |       FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |       WHERE ${sqlIntCos("a.qv", "b.qv")} >= 0.35)
+         |SELECT vec_id, cell FROM af
+         |WHERE vec_id NOT IN (SELECT vid FROM pr) ORDER BY vec_id""".stripMargin,
+
+    "q63_blocklist" ->
+      """WITH h AS (SELECT CASE WHEN o_orderkey % 3 = 0
+        |         THEN 'd' || CAST(o_custkey % 25 AS VARCHAR) || '.com'
+        |         ELSE 's' || CAST(o_orderkey % 4 AS VARCHAR) || '.d'
+        |           || CAST(o_custkey % 25 AS VARCHAR) || '.com' END AS host
+        |       FROM orders),
+        |b AS (SELECT * FROM (VALUES ('d3.com'), ('d7.com'), ('s1.d11.com'), ('D19.COM')) AS t(domain)),
+        |hr AS (SELECT host, array_to_string(list_reverse(string_split(lower(host), '.')), '.') AS hrev FROM h),
+        |br AS (SELECT domain, array_to_string(list_reverse(string_split(lower(domain), '.')), '.') AS brev FROM b),
+        |m AS (SELECT domain, host FROM hr JOIN br
+        |      ON hrev = brev OR starts_with(hrev, brev || '.'))
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM m GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q64_ngram_stats" ->
+      s"""WITH tk AS (SELECT string_split(${sqlNorm("text")}, ' ') AS t
+         |            FROM documents WHERE text IS NOT NULL),
+         |bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+         |       FROM tk)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM bg
+         |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin)
 }

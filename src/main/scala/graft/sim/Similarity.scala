@@ -285,6 +285,192 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  // --- distributed k-means (the coarse-quantizer TRAINER) -------------------
+
+  /** Element-wise vector-sum aggregate with an appended row count: buffer
+    * and output are `Array[Long]` of length dim+1 (last slot = count).
+    * Map-side combinable — every task ships ONE dim+1 long array per cell
+    * through the exchange, so a k-means iteration's shuffle is k×(dim+1)
+    * longs regardless of corpus size (vs a posexplode-by-dimension plan
+    * that fans every row out ×dim before aggregating). */
+  final class VecSumAgg(dim: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Long], Array[Long], Array[Long]] {
+    override def zero: Array[Long] = new Array[Long](dim + 1)
+    override def reduce(b: Array[Long], v: Seq[Long]): Array[Long] = {
+      var i = 0
+      val n = math.min(dim, v.length)
+      while (i < n) { b(i) += v(i); i += 1 }
+      b(dim) += 1L
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i <= dim) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Squared-L2 distance between a quantized vector column and a centroid
+    * literal — pure BIGINT arithmetic: exact, order-free, cross-engine. */
+  private def intSqDist(qv: Column, centroid: Array[Long]): Column =
+    aggregate(zip_with(qv, typedLit(centroid.toSeq), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** struct(dist, cell) of the nearest centroid — `least` over the k
+    * (dist, cell) structs is the lexicographic argmin with ties to the
+    * lowest cell id; entirely row-local (no shuffle, no join, codegen'd).
+    * Declarative twin of [[nearestCellKernel]] — fine for small k, but the
+    * expression tree grows as k×dim and falls out of codegen for the
+    * corpus-scaled k a real IVF build uses (cells ≈ nVecs/256 ⇒ thousands). */
+  private def nearestCell(qv: Column, centroids: Array[Array[Long]]): Column =
+    least(centroids.zipWithIndex.map { case (c, j) =>
+      struct(intSqDist(qv, c).as("dist"), lit(j).cast("int").as("cell"))
+    }: _*)
+
+  /** Argmin result row of the kernel path (field names match the
+    * declarative struct so both paths project identically). */
+  final case class CellDist(dist: Long, cell: Int)
+
+  /** One-pass JVM argmin over the broadcast centroid matrix — identical
+    * integer arithmetic to [[nearestCell]] (exact squared-L2, strict-<
+    * keeps the lowest cell on ties), so the two paths are bit-identical by
+    * construction (parity spec-pinned). k×dim stays DATA (one task-local
+    * array), not an expression tree, so corpus-scaled k (thousands of
+    * cells) runs as a tight loop instead of a codegen-overflow fallback. */
+  private def nearestCellKernel(qv: Column, centroids: Array[Array[Long]]): Column = {
+    val cents = centroids // stable closure capture
+    val f = udf((v: Seq[Long]) => {
+      var bc = 0
+      var bd = Long.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val cj = cents(j)
+        val n = math.min(cj.length, v.length)
+        var s = 0L
+        var i = 0
+        while (i < n) { val d = v(i) - cj(i); s += d * d; i += 1 }
+        if (s < bd) { bd = s; bc = j }
+        j += 1
+      }
+      CellDist(bd, bc)
+    })
+    f(qv)
+  }
+
+  /**
+   * Distributed Lloyd's k-means over integer-QUANTIZED vectors — the
+   * trainer half of the IVF index ([[ivfAssign]]/[[ivfTopK]] consume the
+   * centroids this produces; until now they took fixture centroids as
+   * input, which dodged the "where does the coarse quantizer come from at
+   * ingest" question). Init = the k lowest-id vectors (deterministic).
+   * Each iteration is ONE corpus scan: the nearest-cell argmin is a
+   * row-local `least` over centroid-literal distances feeding the
+   * map-side-combinable [[VecSumAgg]], so the exchange carries k×(dim+1)
+   * longs total and the k updated centroids return to the driver — the
+   * same k-rows-of-broadcast-state loop Spark MLlib's KMeans runs, NOT a
+   * per-row collect. At 100 TB one trains on a sampled slice anyway
+   * (pass `corpus.sample(...)`); the full-corpus pass here is the
+   * worst case and it is still scan+tiny-agg shaped.
+   *
+   * Centroid update = exact floored integer mean (`Math.floorDiv`); empty
+   * cells keep their previous centroid. Distances are exact BIGINT
+   * sums-of-squares, so every iteration — and the final assignment — is
+   * bit-reproducible regardless of partitioning/merge order and has a
+   * DuckDB oracle (unrolled CTEs; q61).
+   *
+   * Returns (centroids, assignment) with assignment = (idCol, cell:int,
+   * dist:long) under the final centroids.
+   */
+  def kmeansFit(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      kernel: Boolean = true): (Array[Array[Long]], DataFrame) = {
+    // accept either raw float vectors (quantized here) or an already-
+    // quantized array<bigint> column (the stored form an ingest pipeline
+    // keeps) — the arithmetic downstream is identical
+    val preQuantized = corpus.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    val qvCol = if (preQuantized) col(vecCol) else quantize(col(vecCol))
+    def near(c: Array[Array[Long]]): Column =
+      if (kernel) nearestCellKernel(col("qv"), c) else nearestCell(col("qv"), c)
+    val q = corpus.select(col(idCol), qvCol.as("qv"))
+    // the iteration collects force q (iters+1) times: pin the quantized
+    // scan for the loop, release before returning — the final assignment
+    // recomputes it lazily (cache hygiene per the r4 advice; no
+    // session-lifetime pins escape this function).
+    q.persist()
+    try {
+      var cents: Array[Array[Long]] =
+        q.orderBy(col(idCol)).limit(k).collect()
+          .map(_.getSeq[Long](1).toArray)
+      val vecsum = udaf(new VecSumAgg(dim),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+      var it = 0
+      while (it < iters) {
+        val sums = q.select(near(cents).getField("cell").as("cell"), col("qv"))
+          .groupBy(col("cell")).agg(vecsum(col("qv")).as("sn"))
+          .collect()
+          .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
+        cents = cents.zipWithIndex.map { case (old, j) =>
+          sums.get(j) match {
+            case Some(sn) if sn(dim) > 0L =>
+              Array.tabulate(dim)(i => Math.floorDiv(sn(i), sn(dim)))
+            case _ => old
+          }
+        }
+        it += 1
+      }
+      val assign = q.select(col(idCol), near(cents).as("n"))
+        .select(col(idCol), col("n.cell").as("cell"), col("n.dist").as("dist"))
+      (cents, assign)
+    } finally q.unpersist()
+  }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+   * k-means-cluster the embedding space, then drop near-duplicates WITHIN
+   * each cluster. The within-cluster pair scan is the whole point: the
+   * quadratic is bounded by the cluster population (corpus/k expected),
+   * never the corpus — k scales with corpus size at the design point
+   * (SemDeDup used 11k clusters for LAION-440M), and the cell id is the
+   * partition key, so each task scans one cell's pairs locally. Keep rule:
+   * drop x iff some same-cell y with y.id < x.id has intCosine(x,y) ≥
+   * `threshold` — deterministic and partitioning-independent (no
+   * tie-order dependence), with a DuckDB oracle (q62). Returns the KEPT
+   * rows (idCol, cell).
+   */
+  def semDedup(
+      corpus: DataFrame,
+      k: Int,
+      iters: Int,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val (_, assign) = kmeansFit(corpus, k, iters, idCol, vecCol, dim)
+    val q = corpus.select(col(idCol), quantize(col(vecCol)).as("qv"))
+    val e = assign.select(col(idCol), col("cell")).join(q, Seq(idCol))
+    val a = e.select(col("cell"), col(idCol).as("id_a"), col("qv").as("qa"))
+    val b = e.select(col("cell"), col(idCol).as("id_b"), col("qv").as("qb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(intCosine(col("qa"), col("qb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    e.select(col(idCol), col("cell"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
   /**
    * ANN top-k with exact integer arithmetic end-to-end: corpus bucketed by
    * `nBits` Rademacher hyperplanes over the quantized vectors; each query

@@ -223,6 +223,32 @@ object TextAnalysis {
     lenTerm * 0.4 + stopTerm * 0.3 + digitPenalty * 0.3
   }
 
+  // --- corpus n-gram statistics ---------------------------------------------
+
+  /**
+   * Corpus-wide word-n-gram frequency table over `textCol` → (gram, cnt).
+   * Tokenization is the shared [[normText]]-then-split-on-space rule, so the
+   * counts have an exact DuckDB oracle (q64). The plan is what a vocabulary /
+   * corpus-statistics pass wants at 100 TB: gram generation is row-local
+   * (`transform` over token offsets + `explode` — no join, no UDF), and the
+   * count is ONE hash-partitioned aggregate with map-side partials; a top-k
+   * consumer composes `orderBy(...).limit(k)` on top, which Spark plans as
+   * TakeOrdered (bounded per-partition heaps), never a full sort of the gram
+   * table. Rows with fewer than n tokens (incl. null text) contribute none.
+   */
+  def ngramCounts(df: DataFrame, textCol: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = split(normText(textCol), " ")
+    val grams =
+      if (n == 1) toks
+      else transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    // the when() guard keeps sequence() from seeing start > stop (Spark would
+    // infer a NEGATIVE step and emit garbage grams for short rows)
+    df.select(explode(when(size(toks) >= n, grams).otherwise(array())).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+  }
+
   // --- token counting -------------------------------------------------------
 
   /** Whitespace token count. */

@@ -802,4 +802,140 @@ class PipelineSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(kept("a") <= 120L && kept("b") <= 55L && kept("c") <= 90L, s"budget exceeded: $kept")
   }
+
+  // ---- k-means / semdedup ----------------------------------------------------
+
+  /** Sequential Lloyd's reference — same init (k lowest ids), same integer
+    * arithmetic (exact squared-L2, floored integer mean, empty cells keep
+    * their centroid), driver-side. */
+  private def seqKmeans(
+      vecs: Seq[(Long, Array[Float])], k: Int, iters: Int): Map[Long, (Int, Long)] = {
+    val q = vecs.map { case (id, v) => id -> v.map(x => math.round(x.toDouble * 1000)) }
+    var cents = q.sortBy(_._1).take(k).map(_._2.clone).toArray
+    def nearest(v: Array[Long]): (Int, Long) = {
+      var bc = 0; var bd = Long.MaxValue
+      for (j <- cents.indices) {
+        var s = 0L
+        for (i <- v.indices) { val dd = v(i) - cents(j)(i); s += dd * dd }
+        if (s < bd) { bd = s; bc = j }
+      }
+      (bc, bd)
+    }
+    for (_ <- 0 until iters) {
+      val byCell = q.groupBy { case (_, v) => nearest(v)._1 }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        byCell.get(j) match {
+          case Some(rows) =>
+            val dim = old.length
+            Array.tabulate(dim) { i =>
+              Math.floorDiv(rows.map(_._2(i)).sum, rows.size.toLong)
+            }
+          case None => old
+        }
+      }
+    }
+    q.map { case (id, v) => id -> nearest(v) }.toMap
+  }
+
+  private def embFrame(vecs: Seq[(Long, Array[Float])]) =
+    vecs.toDF("vec_id", "embedding")
+
+  test("kmeans: distributed ≡ sequential reference; invariant across partitionings") {
+    // 3 planted clusters + a mild spread so iterations actually move centroids
+    val bases = Vector(
+      Array(1.0f, 0.0f, 0.0f, 0.0f),
+      Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f, 0.1f))
+    val vecs: Seq[(Long, Array[Float])] = (0L until 60L).map { id =>
+      val base = bases((id % 3).toInt)
+      id -> base.zipWithIndex.map { case (x, i) =>
+        x + 0.003f * ((id * 7 + i * 3) % 11).toFloat
+      }
+    }
+    val want = seqKmeans(vecs, k = 3, iters = 4)
+    // kernel (JVM argmin loop) ≡ declarative (least-over-structs) ≡ the
+    // sequential reference, at every partitioning
+    for (parts <- Seq(1, 7); kern <- Seq(true, false)) {
+      val (_, assign) = Similarity.kmeansFit(
+        embFrame(vecs).repartition(parts), k = 3, iters = 4, dim = 4, kernel = kern)
+      val got = assign.select($"vec_id", $"cell", $"dist")
+        .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want, s"parts=$parts kernel=$kern: ${got.toSeq.diff(want.toSeq).take(3)}")
+    }
+    // a pre-quantized array<bigint> input is accepted as-is (the stored form)
+    val preQ = embFrame(vecs).select($"vec_id",
+      Similarity.quantize($"embedding").as("embedding"))
+    val (_, assignQ) = Similarity.kmeansFit(preQ, k = 3, iters = 4, dim = 4)
+    val gotQ = assignQ.select($"vec_id", $"cell", $"dist")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gotQ == want, "pre-quantized input diverged")
+    // the planted structure is actually recovered: each group lands whole
+    val cells = want.toSeq.groupBy(_._1 % 3).view.mapValues(_.map(_._2._1).toSet)
+    cells.foreach { case (g, cs) => assert(cs.size == 1, s"group $g split across $cs") }
+    assert(cells.values.flatten.toSet.size == 3, s"groups collapsed: $cells")
+  }
+
+  test("kmeans: empty cells keep their centroid (k > distinct points)") {
+    // 2 distinct points, k=4: cells 1,3 start on duplicated init vectors,
+    // lose the lowest-cell tiebreak, stay empty, and must keep centroids
+    val vecs = Seq[(Long, Array[Float])](
+      1L -> Array(1f, 0f, 0f, 0f), 2L -> Array(1f, 0f, 0f, 0f),
+      3L -> Array(0f, 1f, 0f, 0f), 4L -> Array(0f, 1f, 0f, 0f))
+    val (cents, assign) = Similarity.kmeansFit(embFrame(vecs), k = 4, iters = 3, dim = 4)
+    val got = assign.select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(got == seqKmeans(vecs, 4, 3).map { case (id, (c, _)) => id -> c })
+    assert(cents.length == 4)
+    assert(cents(1).toSeq == Seq(1000L, 0L, 0L, 0L), s"cell 1 lost its init: ${cents(1).toSeq}")
+    assert(cents(3).toSeq == Seq(0L, 1000L, 0L, 0L), s"cell 3 lost its init: ${cents(3).toSeq}")
+  }
+
+  test("semdedup: same-cell near-dups drop (lowest id wins), distinct vectors survive") {
+    val vecs = Seq[(Long, Array[Float])](
+      1L -> Array(1f, 0f, 0f, 0f),
+      2L -> Array(0.9f, 0.1f, 0f, 0f),   // same cell, cos≈0.994 < 0.9999 → kept
+      3L -> Array(0f, 1f, 0f, 0f),
+      4L -> Array(1f, 0f, 0f, 0f),       // dup of 1 → dropped
+      5L -> Array(0f, 1f, 0f, 0f),       // dup of 3 → dropped
+      6L -> Array(0f, 0.5f, 0f, 0f))     // colinear with 3: cos=1.0 → dropped
+    val kept = Similarity.semDedup(embFrame(vecs), k = 2, iters = 2,
+        threshold = 0.9999, dim = 4)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L), s"kept $kept")
+  }
+
+  // ---- blocklist --------------------------------------------------------------
+
+  test("blocklist: subdomain-aware, case-folded; col / join / filter shapes agree") {
+    import graft.urls.Blocklist
+    val hosts = Seq("example.com", "a.b.example.com", "notexample.com",
+      "EXAMPLE.com", "evil.org", "sub.evil.org", "org", "com.example").toDF("host")
+    val list = Seq("Example.COM", "evil.org")
+    val wantBlocked = Set("example.com", "a.b.example.com", "EXAMPLE.com",
+      "evil.org", "sub.evil.org")
+    val viaCol = hosts.filter(Blocklist.blockedCol($"host", list))
+      .as[String].collect().toSet
+    assert(viaCol == wantBlocked, s"blockedCol: $viaCol")
+    val bdf = list.toDF("domain")
+    val viaJoin = Blocklist.matchBlocked(hosts, $"host", bdf)
+      .select($"host").as[String].collect().toSet
+    assert(viaJoin == wantBlocked, s"matchBlocked: $viaJoin")
+    val viaFilter = Blocklist.filterBlocked(hosts, $"host", bdf)
+      .as[String].collect().toSet
+    assert(viaFilter == Set("notexample.com", "org", "com.example"), s"filterBlocked: $viaFilter")
+  }
+
+  // ---- corpus n-gram stats ------------------------------------------------------
+
+  test("ngram counts: handcrafted uni/bi/tri-gram frequencies; null and short rows drop") {
+    val d = docs(
+      1L -> "a  B a b c",  // normText folds case and runs of whitespace
+      2L -> "a b",
+      3L -> null.asInstanceOf[String],
+      4L -> "x")
+    def counts(n: Int) = TextAnalysis.ngramCounts(d, $"text", n)
+      .as[(String, Long)].collect().toMap
+    assert(counts(2) == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+    assert(counts(1) == Map("a" -> 3L, "b" -> 3L, "c" -> 1L, "x" -> 1L))
+    assert(counts(3) == Map("a b a" -> 1L, "b a b" -> 1L, "a b c" -> 1L))
+  }
 }

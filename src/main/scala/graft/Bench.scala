@@ -547,6 +547,20 @@ object DedupScalingBench {
           .repartition(P)
         graft.dedup.DupClusters.dupClusters(edges)
       },
+      "kmeans" -> { s =>
+        // IVF-trainer scaling: k scales with the corpus on a constant-
+        // population rule (sf0.1 has 2000 base vectors, so this is
+        // cells ≈ nVecs/100 — same shape as the RHP bucket-bits rule). Per
+        // iteration ONE scan — the JVM-kernel argmin (k×dim is task-local
+        // DATA, not an expression tree) feeding the map-side-combinable
+        // VecSumAgg — then a k×(dim+1)-long driver barrier (the
+        // broadcast-state loop). embs() is already quantized; kmeansFit
+        // accepts the stored array<bigint> form directly.
+        val kCells = math.max(16, (5000L * mult / 256L).toInt)
+        Similarity.kmeansFit(
+          embs(s).select(col("vec_id"), col("qv").as("embedding")),
+          k = kCells, iters = 3)._2
+      },
       "embedding_rhp_lsh" -> { s =>
         // explicit bucket repartition BEFORE the self-join: the join's
         // input shuffle is tiny (200k × ~80 B) so AQE coalesces it to ~1

@@ -933,6 +933,16 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("gram")).limit(20)
     }),
 
+    "q65_rare_tokens" -> ((s, d) => {
+      // corpus-vocabulary OOV stats (C4's non-dictionary-word gate,
+      // dictionary = the corpus's own top-256 unigrams): vocab pass is
+      // TakeOrdered + broadcast, doc pass is one aggregate; floored
+      // integer permille keeps the oracle exact.
+      TextAnalysis.rareTokenStats(t(s, d, "documents"),
+          col("doc_id"), col("text"), vocabSize = 256)
+        .orderBy(col("doc_id"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1880,5 +1890,17 @@ object SparkEntry {
          |bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
          |       FROM tk)
          |SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM bg
-         |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin)
+         |GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20""".stripMargin,
+
+    "q65_rare_tokens" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(string_split(${sqlNorm("text")}, ' ')) AS tok
+         |            FROM documents WHERE text IS NOT NULL),
+         |vc AS (SELECT tok, 1 AS iv FROM (SELECT tok, count(*) AS cnt FROM tk
+         |       GROUP BY tok ORDER BY cnt DESC, tok LIMIT 256)),
+         |j AS (SELECT t.doc_id, v.iv FROM tk t LEFT JOIN vc v ON t.tok = v.tok)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE iv IS NULL) AS BIGINT) AS n_oov,
+         |  (1000 * CAST(count(*) FILTER (WHERE iv IS NULL) AS BIGINT))
+         |    // CAST(count(*) AS BIGINT) AS oov_permille
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

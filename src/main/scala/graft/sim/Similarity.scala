@@ -297,9 +297,10 @@ object Similarity {
       Seq[Long], Array[Long], Array[Long]] {
     override def zero: Array[Long] = new Array[Long](dim + 1)
     override def reduce(b: Array[Long], v: Seq[Long]): Array[Long] = {
+      val a = unwrapLongs(v)
       var i = 0
-      val n = math.min(dim, v.length)
-      while (i < n) { b(i) += v(i); i += 1 }
+      val n = math.min(dim, a.length)
+      while (i < n) { b(i) += a(i); i += 1 }
       b(dim) += 1L
       b
     }
@@ -342,18 +343,30 @@ object Similarity {
     * construction (parity spec-pinned). k×dim stays DATA (one task-local
     * array), not an expression tree, so corpus-scaled k (thousands of
     * cells) runs as a tight loop instead of a codegen-overflow fallback. */
+  /** Seq[Long] → primitive long[] without per-element boxing where the
+    * runtime hands us an ofLong wrapper (Spark's array<bigint>
+    * deserialization); one copy otherwise. The argmin loop then reads
+    * k×dim PRIMITIVE longs per row — indexing the Seq directly costs a
+    * boxed read per element, measured as ~4× the whole kernel's wall at
+    * corpus-scaled k. */
+  private def unwrapLongs(v: Seq[Long]): Array[Long] = v match {
+    case w: scala.collection.immutable.ArraySeq.ofLong => w.unsafeArray
+    case other => other.toArray
+  }
+
   private def nearestCellKernel(qv: Column, centroids: Array[Array[Long]]): Column = {
     val cents = centroids // stable closure capture
     val f = udf((v: Seq[Long]) => {
+      val a = unwrapLongs(v)
       var bc = 0
       var bd = Long.MaxValue
       var j = 0
       while (j < cents.length) {
         val cj = cents(j)
-        val n = math.min(cj.length, v.length)
+        val n = math.min(cj.length, a.length)
         var s = 0L
         var i = 0
-        while (i < n) { val d = v(i) - cj(i); s += d * d; i += 1 }
+        while (i < n) { val d = a(i) - cj(i); s += d * d; i += 1 }
         if (s < bd) { bd = s; bc = j }
         j += 1
       }

@@ -249,6 +249,31 @@ object TextAnalysis {
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
   }
 
+  /**
+   * Corpus-vocabulary OOV statistics — C4's "fraction of non-dictionary
+   * words" quality gate, self-supervised: the dictionary IS the corpus's
+   * own top-`vocabSize` unigrams. Per doc → (doc_id, n_tokens, n_oov,
+   * oov_permille). Two passes over the token stream: (1) vocabulary =
+   * top-vocabSize grams by count, ties broken by gram so the cut is
+   * deterministic — planned as TakeOrdered (bounded per-partition heaps),
+   * then BROADCAST (vocabSize-bounded by construction); (2) per-doc token
+   * + OOV tally in ONE hash-partitioned aggregate. All-integer output
+   * (permille = floored 1000·oov/tokens) ⇒ exact DuckDB oracle (q65). At
+   * 100 TB the vocabulary pass runs once at ingest and persists; docs with
+   * null text have no tokens and drop out.
+   */
+  def rareTokenStats(df: DataFrame, idCol: Column, textCol: Column, vocabSize: Int): DataFrame = {
+    val toks = df.select(idCol.as("doc_id"), explode(split(normText(textCol), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille", expr("(1000 * n_oov) div n_tokens"))
+  }
+
   // --- token counting -------------------------------------------------------
 
   /** Whitespace token count. */

@@ -926,6 +926,24 @@ class PipelineSpec extends AnyFunSuite {
 
   // ---- corpus n-gram stats ------------------------------------------------------
 
+  test("rare tokens: corpus-derived vocab, deterministic tie cut, floored permille") {
+    val d = docs(
+      1L -> "a a b c",
+      2L -> "a b",
+      3L -> "z z q",
+      4L -> null.asInstanceOf[String])
+    // counts: a=3, b=2, z=2, c=1, q=1; top-2 by (cnt desc, tok asc) = {a, b}
+    // (z loses the cnt=2 tie to b alphabetically — the cut must be stable)
+    val out = TextAnalysis.rareTokenStats(d, $"doc_id", $"text", vocabSize = 2)
+      .select($"doc_id", $"n_tokens", $"n_oov", $"oov_permille")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      1L -> ((4L, 1L, 250L)),   // c is OOV: 1000*1/4
+      2L -> ((2L, 0L, 0L)),
+      3L -> ((3L, 3L, 1000L))), // z,z,q all OOV
+      s"got $out")               // doc 4 (null text) contributes no row
+  }
+
   test("ngram counts: handcrafted uni/bi/tri-gram frequencies; null and short rows drop") {
     val d = docs(
       1L -> "a  B a b c",  // normText folds case and runs of whitespace

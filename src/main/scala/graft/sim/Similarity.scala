@@ -57,6 +57,17 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 1000): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
+  /** `vecCol` already array<bigint> (the stored quantized form an ingest
+    * pipeline keeps — e.g. [[kmeansFit]]'s trained centroids) → use as-is;
+    * raw float vectors → [[quantize]]. Lets trained and fixture centroid
+    * frames drop into the same entry points. */
+  private def quantizedCol(df: DataFrame, vecCol: String): Column =
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        col(vecCol)
+      case _ => quantize(col(vecCol))
+    }
+
   def intDot(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
@@ -212,8 +223,8 @@ object Similarity {
       centroids: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cent = centroids.select(col(idCol).as("cell_id"), quantize(col(vecCol)).as("centroid"))
-    val scored = corpus.select(col(idCol), quantize(col(vecCol)).as("qv"))
+    val cent = centroids.select(col(idCol).as("cell_id"), quantizedCol(centroids, vecCol).as("centroid"))
+    val scored = corpus.select(col(idCol), quantizedCol(corpus, vecCol).as("qv"))
       .join(broadcast(cent))
       .withColumn("cos", intCosine(col("qv"), col("centroid")))
     // argmax as a MAP-SIDE-COMBINABLE aggregate, not a window: a
@@ -248,10 +259,10 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val posting = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("cell_id"))
-      .join(corpus.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("cv")),
+      .join(corpus.select(col(idCol).as("neighbor_id"), quantizedCol(corpus, vecCol).as("cv")),
         Seq("neighbor_id"))
-    val cent = centroids.select(col(idCol).as("cell_id"), quantize(col(vecCol)).as("centroid"))
-    val qScored = queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv"))
+    val cent = centroids.select(col(idCol).as("cell_id"), quantizedCol(centroids, vecCol).as("centroid"))
+    val qScored = queries.select(col(idCol).as("query_id"), quantizedCol(queries, vecCol).as("qv"))
       .join(broadcast(cent))
       .withColumn("qcos", intCosine(col("qv"), col("centroid")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("cell_id").asc)
@@ -448,6 +459,17 @@ object Similarity {
         .select(col(idCol), col("n.cell").as("cell"), col("n.dist").as("dist"))
       (cents, assign)
     } finally q.unpersist()
+  }
+
+  /** Trained centroids → the (idCol, vecCol) frame [[ivfAssign]]/[[ivfTopK]]
+    * accept: cell j's centroid under id j, in the already-quantized
+    * array<bigint> form (auto-detected downstream) — so a kmeansFit-trained
+    * quantizer drops in wherever a fixture centroid table did. */
+  def centroidFrame(spark: org.apache.spark.sql.SparkSession, cents: Array[Array[Long]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, j) => (j.toLong, c.toSeq) }.toSeq
+      .toDF(idCol, vecCol)
   }
 
   /**

@@ -424,6 +424,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(mean >= 0.4, s"IVF nProbe=2 mean recall@5 $mean below floor")
   }
 
+  test("IVF trained centroids: kmeansFit quantizer ≥ arbitrary-fixture recall at equal nProbe") {
+    val vecs = (0 until 200).map { i =>
+      val v = (0 until 16).map(j => math.sin(i * 17 + j * 3).toFloat).toArray
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" >= 8 && $"vec_id" < 18)
+    val q = queries.select($"vec_id".as("query_id"), Similarity.quantize($"embedding").as("qq"))
+    val c = vecs.select($"vec_id".as("neighbor_id"), Similarity.quantize($"embedding").as("qc"))
+    val truth = Similarity.topKPerQuery(
+        c.join(broadcast(q)).filter($"neighbor_id" =!= $"query_id")
+          .withColumn("cos", Similarity.intCosine($"qq", $"qc")), 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(centroids: org.apache.spark.sql.DataFrame): Double = {
+      val ann = Similarity.ivfTopK(vecs, centroids, queries, k = 5, nProbe = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = truth.map { case (qid, t) =>
+        t.intersect(ann.getOrElse(qid, Set.empty)).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val fixture = recall(vecs.filter($"vec_id" < 8)) // q44's arbitrary first-8 rule
+    val (cents, _) = Similarity.kmeansFit(vecs, k = 8, iters = 5, dim = 16)
+    val trained = recall(Similarity.centroidFrame(spark, cents))
+    // trained cells tile the data; arbitrary corpus rows don't have to —
+    // the trainer must never LOSE recall, and must clear the q44 floor
+    assert(trained >= fixture, s"trained $trained < fixture $fixture")
+    assert(trained >= 0.4, s"trained recall $trained below the q44 spec floor")
+  }
+
   test("ANN LSH: measured recall@5 vs brute force ≥ 0.6 (multiprobe, nBits=6)") {
     val vecs = (0 until 200).map { i =>
       val v = (0 until 16).map(j => math.sin(i * 17 + j * 3).toFloat).toArray

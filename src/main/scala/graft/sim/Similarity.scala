@@ -492,10 +492,18 @@ object Similarity {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      pairParts: Int = 0): DataFrame = {
     val (_, assign) = kmeansFit(corpus, k, iters, idCol, vecCol, dim)
-    val q = corpus.select(col(idCol), quantize(col(vecCol)).as("qv"))
-    val e = assign.select(col(idCol), col("cell")).join(q, Seq(idCol))
+    val q = corpus.select(col(idCol), quantizedCol(corpus, vecCol).as("qv"))
+    val joined = assign.select(col(idCol), col("cell")).join(q, Seq(idCol))
+    // pairParts > 0: pin the cell-bucket layout BEFORE the self-join — the
+    // join's input shuffle is small, so AQE's input-size coalescing would
+    // collapse it while the within-cell output explodes quadratically (the
+    // same blind spot the RHP bench op documents); an explicit user
+    // repartition is exempt and is the ingest layout a design-point run
+    // persists anyway. Default 0 keeps toy-scale plans shuffle-minimal.
+    val e = if (pairParts > 0) joined.repartition(pairParts, col("cell")) else joined
     val a = e.select(col("cell"), col(idCol).as("id_a"), col("qv").as("qa"))
     val b = e.select(col("cell"), col(idCol).as("id_b"), col("qv").as("qb"))
     val dropped = a.join(b, Seq("cell"))

@@ -931,6 +931,11 @@ class PipelineSpec extends AnyFunSuite {
         threshold = 0.9999, dim = 4)
       .select($"vec_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 3L), s"kept $kept")
+    // the explicit cell-bucket layout (design-point plan) changes nothing
+    val keptP = Similarity.semDedup(embFrame(vecs), k = 2, iters = 2,
+        threshold = 0.9999, dim = 4, pairParts = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(keptP == kept, s"pairParts diverged: $keptP")
   }
 
   // ---- blocklist --------------------------------------------------------------

@@ -943,6 +943,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "q66_incremental_dedup" -> ((s, d) => {
+      // ingest-time incremental dedup: the +1e6 copies are "today's batch",
+      // the originals the already-indexed corpus — only pairs touching the
+      // batch are produced (new×old, new×new; old×old was found at ITS
+      // ingest). The oracle is the full q27 run filtered to the batch,
+      // which is exactly the operator's equivalence contract.
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val fresh = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.incrementalNearDupPairs(base, fresh, k = 32, bands = 8, minJ = 0.5,
+          kernel = true)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1902,5 +1915,34 @@ object SparkEntry {
          |  CAST(count(*) FILTER (WHERE iv IS NULL) AS BIGINT) AS n_oov,
          |  (1000 * CAST(count(*) FILTER (WHERE iv IS NULL) AS BIGINT))
          |    // CAST(count(*) AS BIGINT) AS oov_permille
-         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q66_incremental_dedup" ->
+      // the q27 full-run mirror restricted to pairs touching the new batch
+      // (ids >= 1e6) — the incremental operator's equivalence contract
+      s"""WITH d2 AS ($sqlD2),
+         |b AS (SELECT doc_id, ${sqlNorm("text")} AS nt FROM d2),
+         |sh AS (SELECT doc_id, $sqlShingles AS s
+         |       FROM (SELECT doc_id, nt, string_split(nt, ' ') AS t FROM b)),
+         |hs AS (SELECT doc_id, list_transform(s, g -> ${sqlH64("g")}) AS h1s,
+         |  list_transform(s, g -> ${sqlH64(s"'${graft.functions.Hash64.Km2Prefix}' || g")}) AS h2s FROM sh),
+         |sig AS (SELECT doc_id, list_transform(range(32),
+         |  i -> list_min(list_transform(range(len(h1s)),
+         |    j -> ${sqlKm("h1s[j+1]", "h2s[j+1]", "i")}))) AS sig
+         | FROM hs),
+         |band AS (SELECT doc_id, band_idx,
+         |  ${sqlH64("band_idx::VARCHAR || '|' || array_to_string(list_transform(list_slice(sig, band_idx*4+1, band_idx*4+4), x -> x::VARCHAR), ',')")} AS band_hash
+         | FROM sig CROSS JOIN (SELECT unnest(range(8)) AS band_idx) r),
+         |capped AS (SELECT band_idx, band_hash FROM band GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         | FROM band x JOIN band y USING (band_idx, band_hash)
+         |  JOIN capped USING (band_idx, band_hash)
+         | WHERE x.doc_id < y.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(a.s, c.s)) AS DOUBLE) /
+         |   greatest(CAST(len(a.s) + len(c.s) AS DOUBLE) - CAST(len(list_intersect(a.s, c.s)) AS DOUBLE), 1.0) AS jaccard
+         | FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh c ON c.doc_id = cand.id_b)
+         |SELECT id_a, id_b, jaccard FROM ver
+         |WHERE jaccard >= 0.5 AND (id_a >= 1000000 OR id_b >= 1000000)
+         |ORDER BY id_a, id_b""".stripMargin)
 }

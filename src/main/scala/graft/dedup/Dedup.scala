@@ -315,6 +315,18 @@ object Dedup {
     * survival is not row-locally computable. The distinct's input is the
     * candidate set (already bucket-capped, ≪ n²), so the shuffle it pays
     * is bounded by design. */
+  /** (id, band_idx, band_hash) banding projection shared by the full and
+    * incremental candidate finders. */
+  private def bandedSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+      idCol: String, hasher: DedupHasher): DataFrame =
+    sigs.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hasher.base(concat(b.cast("string"), lit("|"),
+          concat_ws(",", transform(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")))))))
+        .as(Seq("band_idx", "band_hash")))
+
   def lshCandidatePairs(
       sigs: DataFrame,
       bands: Int,
@@ -322,13 +334,7 @@ object Dedup {
       idCol: String = "doc_id",
       bucketCap: Int = 1000,
       hasher: DedupHasher = DedupHasher.crossEngine): DataFrame = {
-    val banded = sigs.select(col(idCol).as("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hasher.base(concat(b.cast("string"), lit("|"),
-          concat_ws(",", transform(
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string")))))))
-        .as(Seq("band_idx", "band_hash")))
+    val banded = bandedSigs(sigs, bands, rowsPerBand, idCol, hasher)
     // guard: drop degenerate buckets (all-identical junk content) that would
     // quadratically explode the self-join — production LSH pipelines cap too
     val capped = banded.join(
@@ -338,6 +344,46 @@ object Dedup {
     capped.as("x").join(capped.as("y"), Seq("band_idx", "band_hash"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /**
+   * Incremental candidate pairs — the INGEST-TIME shape: find candidates
+   * between a NEW batch's signatures and the already-indexed corpus
+   * without re-pairing old×old (those pairs were found when the old docs
+   * were ingested). Emits exactly the candidate pairs a full run over
+   * old ∪ new would emit that touch a new doc: the bucketCap counts the
+   * UNION's bucket population, exactly like the full run, so
+   * incremental ≡ full-filtered holds even at capped buckets
+   * (spec-pinned). At the design point the old side's banded form is the
+   * stored index — partitioned by band hash, so the new batch's buckets
+   * hash-prune the scan and a day's ingest costs O(|new| + matched
+   * buckets), never a corpus-wide re-pairing.
+   */
+  def incrementalCandidatePairs(
+      newSigs: DataFrame,
+      oldSigs: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      idCol: String = "doc_id",
+      bucketCap: Int = 1000,
+      hasher: DedupHasher = DedupHasher.crossEngine): DataFrame = {
+    val bNew = bandedSigs(newSigs, bands, rowsPerBand, idCol, hasher)
+      .withColumn("is_new", lit(true))
+    val bOld = bandedSigs(oldSigs, bands, rowsPerBand, idCol, hasher)
+      .withColumn("is_new", lit(false))
+    val all = bOld.unionByName(bNew)
+    val okBuckets = all.groupBy("band_idx", "band_hash").count()
+      .filter(col("count") <= bucketCap).drop("count")
+    val cappedAll = all.join(okBuckets, Seq("band_idx", "band_hash"), "left_semi")
+    val cappedNew = bNew.join(okBuckets, Seq("band_idx", "band_hash"), "left_semi")
+    cappedNew.as("x").join(cappedAll.as("y"), Seq("band_idx", "band_hash"))
+      .filter(col("x.id") =!= col("y.id"))
+      // new×new meets itself in both orientations — keep one; new×old only
+      // ever appears with x = new, so it passes unconditionally
+      .filter(!col("y.is_new") || col("x.id") < col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"))
       .distinct()
   }
 
@@ -356,16 +402,50 @@ object Dedup {
     val sigs = if (kernel) minhashSignaturesKernel(docs, k, idCol, textCol, hasher)
                else minhashSignatures(docs, k, idCol, textCol, hasher)
     val cands = lshCandidatePairs(sigs, bands, k / bands, idCol, hasher = hasher)
+    verifyJaccard(cands, docs, minJ, idCol, textCol)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * true shingle sets — the shared tail of the full and incremental
+    * pipelines. Single int-derived IEEE division, no round(): bit-identical
+    * cross-engine. */
+  private def verifyJaccard(cands: DataFrame, docs: DataFrame, minJ: Double,
+      idCol: String, textCol: String): DataFrame = {
     val sh = withShingles(docs, idCol, textCol)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val unionSz = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      // single int-derived IEEE division, no round(): bit-identical cross-engine
       .withColumn("jaccard", inter / greatest(unionSz, lit(1.0)))
       .filter(col("jaccard") >= minJ)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * Incremental MinHash near-dup — [[minhashNearDupPairs]]'s ingest-time
+   * sibling: verified pairs between `newDocs` and the indexed corpus
+   * (new×old and new×new; never old×old). ≡ the full pipeline over
+   * old ∪ new restricted to pairs touching a new doc (spec-pinned,
+   * bucketCap included — see [[incrementalCandidatePairs]]).
+   */
+  def incrementalNearDupPairs(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      k: Int = 32,
+      bands: Int = 8,
+      minJ: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      hasher: DedupHasher = DedupHasher.crossEngine,
+      kernel: Boolean = false): DataFrame = {
+    require(k % bands == 0, "k must divide into bands evenly")
+    def sigsOf(d: DataFrame) =
+      if (kernel) minhashSignaturesKernel(d, k, idCol, textCol, hasher)
+      else minhashSignatures(d, k, idCol, textCol, hasher)
+    val cands = incrementalCandidatePairs(sigsOf(newDocs), sigsOf(oldDocs),
+      bands, k / bands, idCol, hasher = hasher)
+    verifyJaccard(cands, oldDocs.unionByName(newDocs), minJ, idCol, textCol)
   }
 
   // --- SimHash --------------------------------------------------------------

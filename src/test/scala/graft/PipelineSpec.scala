@@ -938,6 +938,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(keptP == kept, s"pairParts diverged: $keptP")
   }
 
+  // ---- incremental dedup --------------------------------------------------------
+
+  test("incremental near-dup ≡ full run filtered to the batch; old×old excluded; cap interacts like the full run") {
+    val old = docs(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "completely different content about spark catalyst optimizer rules",
+      3L -> "junk junk junk junk junk junk junk junk junk junk",
+      4L -> "another unrelated document mentioning minhash banding and shingles",
+      5L -> "the quick brown fox jumps over the lazy dog again and again today", // old×old dup of 1
+      6L -> "junk junk junk junk junk junk junk junk junk junk")
+    val fresh = docs(
+      11L -> "the quick brown fox jumps over the lazy dog again and again now", // near-dup of 1/5
+      12L -> "junk junk junk junk junk junk junk junk junk junk",               // dup of 3/6
+      13L -> "the quick brown fox jumps over the lazy dog again and again now", // new×new dup of 11
+      14L -> "totally novel text that matches nothing else in the corpus")
+    val all = old.unionByName(fresh)
+    val full = Dedup.minhashNearDupPairs(all, k = 32, bands = 8, minJ = 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val touch = full.filter { case (a, b) => a >= 11L || b >= 11L }
+    assert(full.contains((1L, 5L)) && !touch.contains((1L, 5L)),
+      "fixture must exercise an old×old pair the incremental run skips")
+    assert(touch.exists { case (a, b) => a >= 11L && b >= 11L }, "need a new×new pair")
+    assert(touch.exists { case (a, b) => a < 11L && b >= 11L }, "need a new×old pair")
+    for (kern <- Seq(false, true)) {
+      val inc = Dedup.incrementalNearDupPairs(old, fresh, k = 32, bands = 8,
+          minJ = 0.5, kernel = kern)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(inc == touch, s"kernel=$kern: ${inc.diff(touch)} / ${touch.diff(inc)}")
+    }
+    // bucketCap counts the UNION's population in both pipelines: with cap=2
+    // the junk bucket (3 members) drops from BOTH, the 2-member buckets stay
+    val sigsAll = Dedup.minhashSignatures(all, 32)
+    val fullC = Dedup.lshCandidatePairs(sigsAll, 8, 4, bucketCap = 2)
+      .as[(Long, Long)].collect().toSet
+    val incC = Dedup.incrementalCandidatePairs(
+        Dedup.minhashSignatures(fresh, 32), Dedup.minhashSignatures(old, 32),
+        8, 4, bucketCap = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(incC == fullC.filter { case (a, b) => a >= 11L || b >= 11L },
+      s"capped equivalence broke: $incC vs $fullC")
+    assert(!fullC.exists { case (a, b) => Set(3L, 6L, 12L)(a) && Set(3L, 6L, 12L)(b) },
+      "cap=2 must drop the 3-member junk bucket from the full run too")
+  }
+
   // ---- blocklist --------------------------------------------------------------
 
   test("blocklist: subdomain-aware, case-folded; col / join / filter shapes agree") {

@@ -956,6 +956,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "q67_seq_pack" -> ((s, d) => {
+      // sequence-packing manifest (concat-and-chunk): docs concatenated in
+      // doc_id order, cut into 64-token training sequences; one row per
+      // (chunk, doc) span. The global token offset is the two-phase prefix
+      // sum (Ranks.globalCumsumPinned) — no single-partition window.
+      graft.operators.SeqPack.packManifest(t(s, d, "documents"), seqLen = 64)
+        .orderBy(col("chunk_id"), col("doc_id"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1944,5 +1953,21 @@ object SparkEntry {
          | FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh c ON c.doc_id = cand.id_b)
          |SELECT id_a, id_b, jaccard FROM ver
          |WHERE jaccard >= 0.5 AND (id_a >= 1000000 OR id_b >= 1000000)
-         |ORDER BY id_a, id_b""".stripMargin)
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q67_seq_pack" ->
+      s"""WITH tt AS (SELECT doc_id,
+         |    CASE WHEN nt = '' THEN 0 ELSE ${sqlCountOcc("nt", " ")} + 1 END AS t0
+         |  FROM (SELECT doc_id, ${sqlNorm("text")} AS nt FROM documents)),
+         |tz AS (SELECT doc_id, CAST(t0 AS BIGINT) AS t FROM tt WHERE t0 > 0),
+         |o AS (SELECT doc_id, t,
+         |    CAST(COALESCE(sum(t) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS o
+         |  FROM tz),
+         |c AS (SELECT doc_id, t, o,
+         |    unnest(range(o // 64, (o + t - 1) // 64 + 1)) AS chunk_id FROM o)
+         |SELECT chunk_id, doc_id,
+         |  greatest(chunk_id*64 - o, 0) AS doc_from,
+         |  least((chunk_id+1)*64, o+t) - greatest(chunk_id*64, o) AS n_toks
+         |FROM c ORDER BY chunk_id, doc_id""".stripMargin)
 }

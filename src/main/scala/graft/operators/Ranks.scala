@@ -109,4 +109,49 @@ object Ranks {
     sorted.unpersist()
     pinned
   }
+
+  /** Append `cumCol` = EXCLUSIVE global running sum of `weightCol` (long)
+    * in `order` — the weighted generalization of [[globalSeqPinned]], same
+    * two-phase shape: per-partition weight totals (≤P longs to the driver)
+    * → prefix offsets broadcast → one partition-local pass carries the
+    * running sum. No single-partition window anywhere; equals
+    * `sum(w) OVER (ORDER BY order ROWS UNBOUNDED PRECEDING AND 1
+    * PRECEDING)` exactly (order must be total). Same cache contract as
+    * globalSeqPinned: output pinned + forced, sort intermediate released;
+    * the caller unpersists the result when done. */
+  def globalCumsumPinned(
+      df: DataFrame,
+      weightCol: String,
+      cumCol: String,
+      order: Seq[Column],
+      numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(numPartitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist()
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    val sums = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col(weightCol)).as("__sum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until numPartitions).scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L))
+    val bOffsets = spark.sparkContext.broadcast(offsets.toArray)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        cumCol, org.apache.spark.sql.types.LongType, nullable = false))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    val out = sorted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var acc = bOffsets.value(pid)
+      it.map { row =>
+        val r = Row.fromSeq(row.toSeq :+ acc)
+        acc += row.getLong(wIdx)
+        r
+      }
+    }
+    val pinned = out.persist()
+    pinned.count() // force while the sort cache is still valid
+    sorted.unpersist()
+    pinned
+  }
 }

@@ -1003,6 +1003,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaFilter == Set("notexample.com", "org", "com.example"), s"filterBlocked: $viaFilter")
   }
 
+  // ---- sequence packing ---------------------------------------------------------
+
+  test("seq pack: hand-derived manifest; chunks exactly L except last; spans tile docs; partition-invariant") {
+    import graft.operators.SeqPack
+    // token counts: 3, 4, 6, 2 (doc 4 is null → no span); L=4
+    // stream offsets: d1@0(3), d2@3(4), d3@7(6), d5@13(2) — total 15
+    // chunk 0 = d1[0,3)+d2[0,1) ; chunk 1 = d2[1,4)+d3[0,1) ;
+    // chunk 2 = d3[1,5) ; chunk 3 = d3[5,6)+d5[0,2) (last, 3 toks)
+    val d = docs(
+      1L -> "a b c",
+      2L -> "d e f g",
+      3L -> "h i j k l m",
+      4L -> null.asInstanceOf[String],
+      5L -> "n o")
+    val want = Set(
+      (0L, 1L, 0L, 3L), (0L, 2L, 0L, 1L),
+      (1L, 2L, 1L, 3L), (1L, 3L, 0L, 1L),
+      (2L, 3L, 1L, 4L),
+      (3L, 3L, 5L, 1L), (3L, 5L, 0L, 2L))
+    for (parts <- Seq(1, 5)) {
+      val got = SeqPack.packManifest(d.repartition(parts), seqLen = 4, numPartitions = 3)
+        .select($"chunk_id", $"doc_id", $"doc_from", $"n_toks")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"parts=$parts: ${got.diff(want)} / ${want.diff(got)}")
+    }
+    // invariants on a bigger frame: chunk sums = L except the last chunk;
+    // per-doc spans tile the doc exactly
+    val big = docs((1L to 100L).map(i =>
+      i -> Seq.fill((i % 17 + 1).toInt)("w").mkString(" ")): _*)
+    val m = SeqPack.packManifest(big, seqLen = 32)
+      .select($"chunk_id", $"doc_id", $"doc_from", $"n_toks")
+      .as[(Long, Long, Long, Long)].collect()
+    val total = (1L to 100L).map(i => i % 17 + 1).sum
+    val lastChunk = (total - 1) / 32
+    m.groupBy(_._1).foreach { case (c, spans) =>
+      val s = spans.map(_._4).sum
+      if (c < lastChunk) assert(s == 32L, s"chunk $c carries $s tokens")
+      else assert(s == total - lastChunk * 32, s"last chunk $c carries $s")
+    }
+    m.groupBy(_._2).foreach { case (doc, spans) =>
+      val t = doc % 17 + 1
+      assert(spans.map(_._4).sum == t, s"doc $doc spans don't tile: $spans")
+      val sorted = spans.sortBy(_._3)
+      assert(sorted.head._3 == 0L && sorted.map(s => s._3 + s._4).init.toSeq ==
+        sorted.map(_._3).tail.toSeq, s"doc $doc spans not contiguous: $sorted")
+    }
+  }
+
   // ---- corpus n-gram stats ------------------------------------------------------
 
   test("rare tokens: corpus-derived vocab, deterministic tie cut, floored permille") {

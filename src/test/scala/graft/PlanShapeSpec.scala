@@ -192,4 +192,37 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(exchanges == 1, s"corpus side must stay exchange-free: $fullPlan")
     } finally corpus.unpersist()
   }
+
+  test("ngram counts: staged tokens (one split), partial+final agg, TakeOrdered top-k") {
+    val d = (1L to 200L).map(i =>
+      (i, s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 13} common tail")).toDF("doc_id", "text")
+    val df = graft.text.TextAnalysis.ngramCounts(d, col("text"), 2)
+      .orderBy(col("cnt").desc, col("gram")).limit(20)
+    val plan = physical(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    // regression guard for the lambda-CSE pathology: the token split must be
+    // STAGED (appear once), not inlined per element_at inside the gram
+    // lambda (measured 13x on q64 before the fix)
+    val splits = "split\\(".r.findAllIn(plan).length
+    assert(splits <= 2, s"token split inlined $splits times — staging regressed: $plan")
+  }
+
+  test("blocklist match: the list broadcasts; the corpus side never shuffles") {
+    val hosts = spark.range(1000).select(concat(lit("s"), pmod(col("id"), lit(5)),
+      lit(".d"), pmod(col("id"), lit(30)), lit(".com")).as("host"))
+    val bdf = Seq("d3.com", "s1.d7.com").toDF("domain")
+    val plan = physical(graft.urls.Blocklist.matchBlocked(hosts, col("host"), bdf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"prefix-match blocklist must not shuffle the corpus: $plan")
+  }
+
+  test("rare tokens: vocabulary joins as broadcast; per-doc tally is partial+final") {
+    val d = (1L to 100L).map(i => (i, s"a b c w$i")).toDF("doc_id", "text")
+    val plan = physical(
+      graft.text.TextAnalysis.rareTokenStats(d, col("doc_id"), col("text"), 8))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+  }
 }

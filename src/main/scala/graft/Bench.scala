@@ -547,6 +547,20 @@ object DedupScalingBench {
           .repartition(P)
         graft.dedup.DupClusters.dupClusters(edges)
       },
+      "incremental_minhash" -> { s =>
+        // ingest-time incremental dedup: the indexed corpus is the copies
+        // ((mult-1)/mult of the expansion), today's batch the originals —
+        // worst honest case: every batch doc near-dups ALL its mult-1
+        // indexed copies. Timing includes the batch AND index signature
+        // builds (at a real ingest the index signatures are stored, so the
+        // wall is an upper bound); the scaling ratio is what the row is for.
+        val all = docs(s)
+        Dedup.incrementalNearDupPairs(
+          all.filter(col("doc_id") >= 10000000L),
+          all.filter(col("doc_id") < 10000000L),
+          k = 32, bands = 8, minJ = 0.5,
+          hasher = DedupHasher.production, kernel = true)
+      },
       "kmeans" -> { s =>
         // IVF-trainer scaling: k scales with the corpus on a constant-
         // population rule (sf0.1 has 2000 base vectors, so this is

@@ -27,7 +27,16 @@ final case class CurateConfig(
     minJaccard: Double = 0.5,
     splits: Seq[(String, Int)] = Seq(("train", 980), ("valid", 990), ("test", 1000)),
     splitSeed: Long = 0L,
-    kernels: Boolean = true)
+    kernels: Boolean = true,
+    /** Opt-in corpus-vocabulary OOV gate (the q65 operator): drop docs
+      * whose out-of-vocabulary token rate exceeds this permille, with the
+      * vocabulary self-supervised from the surviving corpus's own
+      * top-[[oovVocabSize]] unigrams. Runs after the row-local gates and
+      * decontamination (they shrink the token stream it scans) and before
+      * dedup (so gibberish can't become a cluster representative). None =
+      * off — the q54 oracle covers the gate-less composition. */
+    maxOovPermille: Option[Int] = None,
+    oovVocabSize: Int = 4096)
 
 /**
  * End-to-end training-data curation: the composition a corpus pipeline
@@ -152,10 +161,20 @@ object CuratePipeline {
       g.join(dirty, Seq("doc_id"), "left_anti")
     }.persist()
 
+    // opt-in OOV gate: two passes over the PINNED filtered frame (vocab
+    // build = TakeOrdered + broadcast; per-doc tally = one aggregate), then
+    // a semi-join keep — all consumers read the pin, never re-annotate
+    val vocabGated = cfg.maxOovPermille.fold(filtered) { thr =>
+      val keep = TextAnalysis.rareTokenStats(
+          filtered, col("doc_id"), col("text"), cfg.oovVocabSize)
+        .filter(col("oov_permille") <= thr).select("doc_id")
+      filtered.join(keep, Seq("doc_id"), "left_semi")
+    }
+
     // exact dedup: ONE aggregate keyed by the content fingerprint (map-side
     // partial min collapses per-partition duplicate groups pre-shuffle),
     // then a semi-join shaped re-attach of the surviving rows
-    val keepIds = filtered
+    val keepIds = vocabGated
       .groupBy(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
@@ -164,7 +183,7 @@ object CuratePipeline {
     // projection) — unpinned, each would re-run the kernel annotate +
     // filter + dedup aggregate from the scan. Same caller-release contract
     // as dupClusters (the bench harness clearCache()s between queries).
-    val exact = filtered.join(keepIds, Seq("doc_id"), "left_semi").persist()
+    val exact = vocabGated.join(keepIds, Seq("doc_id"), "left_semi").persist()
     exact.count()
     filtered.unpersist()
     gatedPin.foreach(_.unpersist())

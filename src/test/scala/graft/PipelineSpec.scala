@@ -938,6 +938,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(keptP == kept, s"pairParts diverged: $keptP")
   }
 
+  test("curate: opt-in OOV gate drops the gibberish doc; off by default it survives") {
+    import graft.operators.{CurateConfig, CuratePipeline}
+    // 20 docs over a shared vocabulary + one all-rare-token junk doc; other
+    // gates neutralized so the OOV stage alone decides
+    val base = (1L to 20L).map(i =>
+      i -> s"the quick brown fox $i runs to the big house and the green hills")
+    val d = docs(base :+ (99L -> "qzx wvu plk mnb tyu asd fgh jkl zxc vbn"): _*)
+    val cfg = CurateConfig(dropUnknownLang = false, minQuality = 0.0,
+      maxTopUnigramFrac = 1.0, maxDupBigramFrac = 1.0)
+    val off = CuratePipeline.curate(d, cfg).select($"doc_id").as[Long].collect().toSet
+    assert(off.contains(99L), s"gate off: junk doc must survive ($off)")
+    val on = CuratePipeline.curate(d,
+        cfg.copy(maxOovPermille = Some(500), oovVocabSize = 16))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!on.contains(99L), s"gate on: junk doc must drop ($on)")
+    // the gate drops exactly the junk doc here (base docs are ≤71‰ OOV),
+    // so the rest of the pipeline must be untouched
+    assert(on == off - 99L, s"gate must remove only the junk doc: $on vs $off")
+  }
+
   // ---- incremental dedup --------------------------------------------------------
 
   test("incremental near-dup ≡ full run filtered to the batch; old×old excluded; cap interacts like the full run") {

@@ -965,6 +965,20 @@ object SparkEntry {
         .orderBy(col("chunk_id"), col("doc_id"))
     }),
 
+    "q68_revisit" -> ((s, d) => {
+      // freshness-driven revisit scheduling: exponential backoff on the
+      // per-url unchanged streak (capped), from a deterministic synthetic
+      // fetch history — one per-key window + one aggregate, single
+      // exchange, all-integer.
+      val hist = t(s, d, "orders").select(
+        concat(lit("https://h"), (col("o_custkey") % 40).cast("string"),
+          lit(".com/p"), (col("o_orderkey") % 500).cast("string")).as("url"),
+        (col("o_orderkey") % 7).cast("long").as("round"),
+        (col("o_orderkey") % 3 === 0).as("changed"))
+      graft.crawl.Revisit.schedule(hist, baseInterval = 2, maxDoublings = 4)
+        .orderBy(col("url"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -1969,5 +1983,25 @@ object SparkEntry {
          |SELECT chunk_id, doc_id,
          |  greatest(chunk_id*64 - o, 0) AS doc_from,
          |  least((chunk_id+1)*64, o+t) - greatest(chunk_id*64, o) AS n_toks
-         |FROM c ORDER BY chunk_id, doc_id""".stripMargin)
+         |FROM c ORDER BY chunk_id, doc_id""".stripMargin,
+
+    "q68_revisit" ->
+      """WITH h AS (SELECT 'https://h' || CAST(o_custkey % 40 AS VARCHAR)
+        |      || '.com/p' || CAST(o_orderkey % 500 AS VARCHAR) AS url,
+        |    CAST(o_orderkey % 7 AS BIGINT) AS round,
+        |    (o_orderkey % 3 = 0) AS changed
+        |  FROM orders),
+        |a AS (SELECT url, round,
+        |    max(CASE WHEN changed THEN round END) OVER (PARTITION BY url) AS lc
+        |  FROM h),
+        |g AS (SELECT url, max(round) AS last_round,
+        |    CAST(sum(CASE WHEN lc IS NULL OR round > lc THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS unchanged_streak
+        |  FROM a GROUP BY url)
+        |SELECT url, last_round, unchanged_streak,
+        |  2 * (CAST(1 AS BIGINT) << CAST(least(unchanged_streak, 4) AS INTEGER)) AS "interval",
+        |  last_round
+        |    + 2 * (CAST(1 AS BIGINT) << CAST(least(unchanged_streak, 4) AS INTEGER))
+        |    AS next_due_round
+        |FROM g ORDER BY url""".stripMargin)
 }

@@ -816,4 +816,29 @@ class CrawlSpec extends AnyFunSuite {
     assert(a.length == b.length && a.sameElements(b),
       "crawl resumed after maintenance diverged from the uninterrupted control")
   }
+
+  test("revisit schedule: backoff doubles per unchanged observation, caps, resets on change") {
+    import spark.implicits._
+    val hist = Seq(
+      // urlA: changed @1, then unchanged @2,@3 → streak 2, interval 2·2²=8, due 11
+      ("a", 1L, true), ("a", 2L, false), ("a", 3L, false),
+      // urlB: never changed (@0,@4) → streak 2 → interval 8, due 12
+      ("b", 0L, false), ("b", 4L, false),
+      // urlC: changed on its LAST fetch → streak 0 → interval 2, due 7
+      ("c", 2L, false), ("c", 5L, true),
+      // urlD: 6 unchanged since the change @0 → streak 6 > cap 4 →
+      // interval 2·2⁴=32, due 38
+      ("d", 0L, true), ("d", 1L, false), ("d", 2L, false), ("d", 3L, false),
+      ("d", 4L, false), ("d", 5L, false), ("d", 6L, false))
+      .toDF("url", "round", "changed")
+    for (parts <- Seq(1, 5)) {
+      val got = Revisit.schedule(hist.repartition(parts), baseInterval = 2, maxDoublings = 4)
+        .select($"url", $"last_round", $"unchanged_streak", $"interval", $"next_due_round")
+        .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got("a") == (("a", 3L, 2L, 8L, 11L)), s"a: ${got("a")}")
+      assert(got("b") == (("b", 4L, 2L, 8L, 12L)), s"b: ${got("b")}")
+      assert(got("c") == (("c", 5L, 0L, 2L, 7L)), s"c: ${got("c")}")
+      assert(got("d") == (("d", 6L, 6L, 32L, 38L)), s"d: ${got("d")}")
+    }
+  }
 }

@@ -788,6 +788,16 @@ object Crawl {
       lit(null).cast("string").as("src_url"))
     val frontierNext = CrawlRound.firstDiscoveryWins(frontier.unionByName(reEnqueued))
 
+    // per-url observation log — one row per re-examined seen url, the
+    // fetch-history input [[Revisit.schedule]] consumes. Committed as an
+    // APPEND delta (monotone-growing, never rewritten) so the freshness
+    // policy can look across every recrawl cycle.
+    val observed = canonNew.select(col("canon_url"))
+      .join(seen, Seq("canon_url"), "left_semi")
+      .join(changed.withColumn("chg", lit(true)), Seq("canon_url"), "left_outer")
+      .select(col("canon_url"), lit(round.toLong).as("round"),
+        coalesce(col("chg"), lit(false)).as("changed"))
+
     val nChanged = changed.count()
     val nVanished = vanished.count()
     catalog.commit(round, Map(
@@ -796,10 +806,33 @@ object Crawl {
       "url_seen_exact" -> seenNext,
       "url_seen" -> sketchNext),
       Map("total_fetched" -> base, "fetched" -> 0L,
-        "recrawl_changed" -> nChanged, "recrawl_vanished" -> nVanished))
+        "recrawl_changed" -> nChanged, "recrawl_vanished" -> nVanished),
+      appends = Map("recrawl_log" -> observed))
     Seq(canonNew, changed, vanished).foreach(_.unpersist())
     RecrawlResult(nChanged, nVanished)
   }
+
+  /** Seen urls DUE for re-examination at `atRound` under the freshness
+    * backoff policy: [[Revisit.schedule]] over the committed `recrawl_log`
+    * observation chain ([[recrawlChanged]] appends one observation per
+    * re-examined url per cycle). Empty before any recrawl has run. This is
+    * the candidate-selection half of the freshness loop — feed the result
+    * into the next recrawl's fetch set (or the frontier's priority seam)
+    * instead of re-examining the whole seen set every cycle. */
+  def revisitDue(
+      spark: SparkSession,
+      catalog: StateCatalog,
+      atRound: Long,
+      baseInterval: Int = 1,
+      maxDoublings: Int = 6): DataFrame =
+    catalog.load(spark, "recrawl_log")
+      .map(log => Revisit.schedule(log, baseInterval, maxDoublings, urlCol = "canon_url")
+        .filter(col("next_due_round") <= atRound)
+        .select(col("canon_url"), col("next_due_round")))
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("canon_url", "next_due_round")
+      }
 
   /** Union of all committed fetch_log rounds 1..latest. */
   def fullFetchLog(spark: SparkSession, catalog: StateCatalog): DataFrame = {

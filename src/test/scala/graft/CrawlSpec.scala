@@ -678,6 +678,44 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("revisit loop: recrawl_log observations drive the freshness due-set (changed urls due before stable ones)") {
+    import spark.implicits._
+    val dir = tmp()
+    val uni = FixtureGen.Universe(600)
+    val pagesV1 = spark.range(600).map(p => uni.pageRow(p)).toDF()
+    val robots = (0 until uni.nHosts).flatMap(i => uni.robotsBody(i).map(b => (uni.host(i), b)))
+      .toDF("host", "robots_body")
+    val catalog = new HadoopSnapshotCatalog(dir)
+    Crawl.bootstrap(spark, catalog, pagesV1, robots, uni.seeds(8), cfg)
+    Crawl.runRounds(spark, catalog, cfg, 3)
+    // before any recrawl: no observations, nothing due
+    assert(Crawl.revisitDue(spark, catalog, atRound = 99L).count() == 0)
+    val fetched = Crawl.fullFetchLog(spark, catalog).filter(col("status") === 200)
+      .select("canon_url").collect().map(_.getString(0)).toSet
+    val pagesV2 = pagesV1.unionByName(
+      spark.range(600).filter(p => uni.hasSecondVersion(p)).map(p => uni.pageRowV2(p)).toDF())
+    Crawl.recrawlChanged(spark, catalog, cfg, pagesV2) // cycle 1: 2% change
+    val r2 = catalog.latestRound.get + 1
+    Crawl.recrawlChanged(spark, catalog, cfg, pagesV2) // cycle 2: all stable
+    val changedUrl = (0L until 600L)
+      .find(p => uni.hasSecondVersion(p) && fetched.contains(uni.canonUrl(p)))
+      .map(uni.canonUrl).get
+    val stableUrl = (0L until 600L)
+      .find(p => !uni.hasSecondVersion(p) && fetched.contains(uni.canonUrl(p)))
+      .map(uni.canonUrl).get
+    def due(at: Long): Set[String] = Crawl.revisitDue(spark, catalog, at)
+      .select("canon_url").collect().map(_.getString(0)).toSet
+    // changed@cycle1 + stable@cycle2 → streak 1 → due r2+2;
+    // stable both cycles → streak 2 → due r2+4
+    val early = due(r2 + 2)
+    assert(early.contains(changedUrl), s"changed url not due at r2+2")
+    assert(!early.contains(stableUrl), s"stable url must back off past r2+2")
+    val late = due(r2 + 4)
+    assert(late.contains(changedUrl) && late.contains(stableUrl),
+      s"both due by r2+4: ${late.size}")
+    assert(due(r2 + 1).isEmpty, "nothing due the round after the last observation")
+  }
+
   test("canonicalizePages: same-second recapture ties resolve to ONE deterministic row") {
     import spark.implicits._
     val ts = new java.sql.Timestamp(1767225600000L)

@@ -979,6 +979,16 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    "q69_source_quality" -> ((s, d) => {
+      // source-level quality rollup (RefinedWeb-style domain gate): mean
+      // quality per source as an exact floored-integer permille — one
+      // aggregate; the kept flag is the broadcast gate q22's per-doc score
+      // feeds at corpus scale.
+      TextAnalysis.sourceQualityStats(t(s, d, "documents"), col("source"), col("text"))
+        .withColumn("kept", col("avg_quality_permille") >= 600L)
+        .orderBy(col("source"))
+    }),
+
     "q38_salted_join" -> ((s, d) => {
       // manual skew salting (SURVEY op 30): Zipf-hot join key — explode the
       // small side with salt 0..k-1, salt the fact side by hash, join on
@@ -2003,5 +2013,27 @@ object SparkEntry {
         |  last_round
         |    + 2 * (CAST(1 AS BIGINT) << CAST(least(unchanged_streak, 4) AS INTEGER))
         |    AS next_due_round
-        |FROM g ORDER BY url""".stripMargin)
+        |FROM g ORDER BY url""".stripMargin,
+
+    "q69_source_quality" -> {
+      val stopSum = TextAnalysis.qualityStopwords
+        .map(w => sqlCountOcc("pt", s" $w ")).mkString("(", " + ", ")")
+      s"""WITH b AS (SELECT source, text, ${sqlNorm("text")} AS nt, ${sqlPadded("text")} AS pt FROM documents),
+         |m AS (SELECT source,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CASE WHEN nt = '' THEN 0 ELSE ${sqlCountOcc("nt", " ")} + 1 END AS n_words,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+         |  $stopSum AS stop
+         | FROM b),
+         |q AS (SELECT source, CAST(floor((
+         |    least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + least((CAST(stop AS DOUBLE) * 5.0) / greatest(CAST(n_words AS DOUBLE), 1.0), 1.0) * 0.3
+         |    + (1.0 - least(CAST(digits AS DOUBLE) * 3.0 / CAST(greatest(n_chars, 1) AS DOUBLE), 1.0)) * 0.3
+         |  ) * 1000) AS BIGINT) AS qpm FROM m),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(qpm) AS BIGINT) AS qpm_sum FROM q GROUP BY source)
+         |SELECT source, n_docs, qpm_sum, qpm_sum // n_docs AS avg_quality_permille,
+         |  (qpm_sum // n_docs) >= 600 AS kept
+         |FROM g ORDER BY source""".stripMargin
+    })
 }

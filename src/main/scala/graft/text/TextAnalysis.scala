@@ -280,6 +280,38 @@ object TextAnalysis {
       .withColumn("oov_permille", expr("(1000 * n_oov) div n_tokens"))
   }
 
+  /**
+   * Source-level quality rollup — RefinedWeb-style DOMAIN filtering: junk
+   * concentrates by origin, so gating on a source's MEAN quality removes
+   * whole bad sources more robustly than per-doc thresholds alone (one
+   * polished page on a content farm still goes). The mean is an exact
+   * floored-integer permille: per-row floor(quality·1000) (the per-row
+   * double is cross-engine identical — q22's contract — and floor/CAST are
+   * exact), summed as integers (order-free), floored mean — a double mean
+   * would hash-differ by summation order. ONE aggregate over the corpus.
+   */
+  def sourceQualityStats(
+      df: DataFrame, srcCol: Column, textCol: Column, kernels: Boolean = true): DataFrame = {
+    val q = if (kernels) qualityScoreFromPrims(quality_prims_udf(textCol))
+            else qualityScore(textCol)
+    df.select(srcCol.as("source"), floor(q * 1000).as("qpm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qpm")).as("qpm_sum"))
+      .withColumn("avg_quality_permille", expr("qpm_sum div n_docs"))
+  }
+
+  /** Docs from sources whose mean quality clears `minAvgPermille` — the
+    * gate shape: the surviving source list is tiny (≤ #sources) and
+    * broadcast, so the corpus side never shuffles. */
+  def filterLowQualitySources(
+      df: DataFrame, srcCol: Column, textCol: Column,
+      minAvgPermille: Long, kernels: Boolean = true): DataFrame = {
+    val keep = sourceQualityStats(df, srcCol, textCol, kernels)
+      .filter(col("avg_quality_permille") >= minAvgPermille)
+      .select(col("source").as("__keep_src"))
+    df.join(broadcast(keep), srcCol === col("__keep_src"), "left_semi")
+  }
+
   // --- token counting -------------------------------------------------------
 
   /** Whitespace token count. */

@@ -1073,6 +1073,33 @@ class PipelineSpec extends AnyFunSuite {
 
   // ---- corpus n-gram stats ------------------------------------------------------
 
+  test("source quality gate: a bad source drops whole — including its one decent doc") {
+    val clean = "The quick brown fox jumps over the lazy dog and runs to the hills " +
+      "in a day of sun with many more words that read like an actual document for people."
+    val d = Seq(
+      (1L, "good", clean),
+      (2L, "good", clean + " And a second sentence keeps the ratios healthy."),
+      (3L, "farm", "1234 5678 90!!!! ???? 00 11 22"),
+      (4L, "farm", "9999 8888 @@@@ #### 77 66"),
+      (5L, "farm", clean)) // the farm's one decent page
+      .toDF("doc_id", "source", "text")
+    val stats = TextAnalysis.sourceQualityStats(d, $"source", $"text")
+      .select($"source", $"n_docs", $"avg_quality_permille")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stats("good")._1 == 2L && stats("farm")._1 == 3L)
+    assert(stats("good")._2 > stats("farm")._2,
+      s"good source must out-score the farm: $stats")
+    val thr = (stats("good")._2 + stats("farm")._2) / 2
+    for (kern <- Seq(true, false)) {
+      val kept = TextAnalysis.filterLowQualitySources(
+          d, $"source", $"text", minAvgPermille = thr, kernels = kern)
+        .select($"doc_id").as[Long].collect().toSet
+      // doc 5 is individually fine but its SOURCE fails the gate — the
+      // whole-domain semantics this operator exists for
+      assert(kept == Set(1L, 2L), s"kernels=$kern: kept $kept")
+    }
+  }
+
   test("rare tokens: corpus-derived vocab, deterministic tie cut, floored permille") {
     val d = docs(
       1L -> "a a b c",

@@ -575,6 +575,18 @@ object DedupScalingBench {
           embs(s).select(col("vec_id"), col("qv").as("embedding")),
           k = kCells, iters = 3)._2
       },
+      "semdedup" -> { s =>
+        // SemDeDup end-to-end: the kmeans row's trainer plus the
+        // within-cell pair scan — corpus-scaled k (same ~100-vectors/cell
+        // rule) bounds the quadratic, pairParts pins the cell layout for
+        // the self-join (the AQE coalescing blind spot, as in the RHP op).
+        // The ×mult corpus makes every vector an exact dup of its
+        // mult-1 siblings — same cell, cosine 1.0 — the worst honest case.
+        val kCells = math.max(16, (5000L * mult / 256L).toInt)
+        Similarity.semDedup(
+          embs(s).select(col("vec_id"), col("qv").as("embedding")),
+          k = kCells, iters = 3, threshold = 0.95, pairParts = P)
+      },
       "embedding_rhp_lsh" -> { s =>
         // explicit bucket repartition BEFORE the self-join: the join's
         // input shuffle is tiny (200k × ~80 B) so AQE coalesces it to ~1
